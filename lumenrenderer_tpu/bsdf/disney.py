@@ -1,0 +1,290 @@
+"""Disney BSDF: sample + evaluate, fully vectorized and differentiable.
+
+TPU-native re-implementation of the reference's Disney/AppleSeed BSDF
+(`CUDAKernels/disney.cuh:173-320+` sample/evaluate, `ggxmdf.cuh` GGX+GTR1
+MDFs, `frosted.cuh` rough dielectric): diffuse with Burley retro-reflection,
+sheen, GGX specular (metallic workflow), GTR1 clearcoat, and rough dielectric
+transmission. Written from the published Disney BRDF/BSDF formulation —
+not a translation of the CUDA code: everything is batched tangent-space math
+on (R,...) arrays, branch-free (lobe selection via `jnp.where`), so one
+evaluation runs all lobes for every ray on the VPU.
+
+`evaluate` returns the combined f (no cosine) and the overall solid-angle pdf
+of `sample`, which is what MIS weighting needs.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import sampling
+from ..core import vecmath as vm
+from . import common
+
+
+class _Lobes(NamedTuple):
+    p_diffuse: jnp.ndarray
+    p_specular: jnp.ndarray
+    p_clearcoat: jnp.ndarray
+    p_transmission: jnp.ndarray
+
+
+def _lobe_probs(mat_rows, sd) -> _Lobes:
+    base_lum = jnp.maximum(vm.luminance(sd.base_color), 1e-4)
+    metallic = sd.metallic
+    spec_trans = mat_rows.spec_trans[sd.mat_idx]
+    f0_lum = vm.luminance(_f0_color(mat_rows, sd))
+    w_diff = (1.0 - metallic) * (1.0 - spec_trans) * base_lum
+    w_spec = jnp.maximum(f0_lum, 0.08)
+    w_cc = 0.25 * mat_rows.clearcoat[sd.mat_idx]
+    w_trans = (1.0 - metallic) * spec_trans * base_lum
+    total = w_diff + w_spec + w_cc + w_trans
+    inv = 1.0 / jnp.maximum(total, 1e-8)
+    return _Lobes(w_diff * inv, w_spec * inv, w_cc * inv, w_trans * inv)
+
+
+def _f0_color(mat_rows, sd):
+    """Specular F0: dielectric from `specular` scaled 0.08, tinted, lerped to
+    base color by metallic (Disney convention)."""
+    spec = mat_rows.specular[sd.mat_idx]
+    tint_w = mat_rows.spec_tint[sd.mat_idx]
+    lum = jnp.maximum(vm.luminance(sd.base_color), 1e-8)
+    tint = sd.base_color / lum[..., None]
+    dielectric = (
+        0.08 * spec[..., None] * vm.lerp(jnp.ones_like(tint), tint, tint_w[..., None])
+    )
+    return vm.lerp(dielectric, sd.base_color, sd.metallic[..., None])
+
+
+def _alpha(roughness):
+    return jnp.maximum(roughness * roughness, 1e-4)
+
+
+def _eta(mat_rows, sd):
+    """Relative IOR eta_i/eta_t for refraction direction computation."""
+    ior = mat_rows.ior[sd.mat_idx]
+    return jnp.where(sd.front_face, 1.0 / ior, ior)
+
+
+def _eval_lobes(mat_rows, sd, wo_l, wi_l):
+    """All reflection lobes in tangent space; wo_l.z > 0 assumed.
+
+    Returns (f_reflect (R,3), pdf components dict).
+    """
+    cos_o = jnp.maximum(wo_l[..., 2], 1e-6)
+    cos_i = wi_l[..., 2]
+    reflect_side = cos_i > 1e-6
+    cos_i_c = jnp.maximum(cos_i, 1e-6)
+
+    h = vm.normalize(wo_l + wi_l)
+    h = jnp.where((h[..., 2:3] < 0.0), -h, h)
+    oh = jnp.maximum(vm.dot(wo_l, h), 0.0)
+    nh = jnp.maximum(h[..., 2], 0.0)
+
+    rough = sd.roughness
+    alpha = _alpha(rough)
+
+    # -- Disney diffuse + retro + sheen --
+    fl = common.schlick_fresnel(cos_i_c)
+    fv = common.schlick_fresnel(cos_o)
+    rr = 2.0 * rough * oh * oh
+    # Burley: f_d = (1 + (FD90-1)Fl)(1 + (FD90-1)Fv), FD90 = 0.5 + 2 rough oh^2
+    fd90 = 0.5 + rr
+    f_d = (1.0 + (fd90 - 1.0) * fl) * (1.0 + (fd90 - 1.0) * fv)
+    # subsurface approximation (Hanrahan-Krueger lerp)
+    fss90 = rr
+    fss = (1.0 + (fss90 - 1.0) * fl) * (1.0 + (fss90 - 1.0) * fv)
+    ss = 1.25 * (fss * (1.0 / (cos_i_c + cos_o) - 0.5) + 0.5)
+    subsurface = mat_rows.subsurface[sd.mat_idx]
+    diff_w = vm.lerp(f_d, ss, subsurface)
+    diffuse_weight = (1.0 - sd.metallic) * (
+        1.0 - mat_rows.spec_trans[sd.mat_idx]
+    )
+    f_diffuse = (
+        sd.base_color / jnp.pi * (diff_w * diffuse_weight)[..., None]
+    )
+    # sheen
+    lum = jnp.maximum(vm.luminance(sd.base_color), 1e-8)
+    tint = sd.base_color / lum[..., None]
+    sheen_tint = mat_rows.sheen_tint[sd.mat_idx]
+    sheen_color = vm.lerp(jnp.ones_like(tint), tint, sheen_tint[..., None])
+    fh = common.schlick_fresnel(oh)
+    f_sheen = (
+        mat_rows.sheen[sd.mat_idx] * diffuse_weight
+    )[..., None] * sheen_color * fh[..., None]
+
+    # -- GGX specular --
+    f0 = _f0_color(mat_rows, sd)
+    fres = common.fresnel_schlick(f0, oh)
+    d = common.ggx_d(nh, alpha)
+    g = common.smith_g2(cos_o, cos_i_c, alpha)
+    f_spec = fres * (d * g / jnp.maximum(4.0 * cos_o * cos_i_c, 1e-8))[..., None]
+
+    # -- clearcoat (GTR1, fixed 0.25 weight, F0=0.04) --
+    cc = mat_rows.clearcoat[sd.mat_idx]
+    cc_alpha = vm.lerp(0.1, 0.001, mat_rows.clearcoat_gloss[sd.mat_idx])
+    d_cc = common.gtr1_d(nh, cc_alpha)
+    g_cc = common.smith_g2(cos_o, cos_i_c, jnp.full_like(cc_alpha, 0.25))
+    f_cc_s = 0.04 + 0.96 * common.schlick_fresnel(oh)
+    f_clearcoat = (
+        0.25 * cc * d_cc * g_cc * f_cc_s / jnp.maximum(4.0 * cos_o * cos_i_c, 1e-8)
+    )[..., None] * jnp.ones_like(f_spec)
+
+    f_reflect = jnp.where(
+        reflect_side[..., None],
+        f_diffuse + f_sheen + f_spec + f_clearcoat,
+        0.0,
+    )
+
+    # pdfs (solid angle) of each reflection sampling strategy
+    pdf_diffuse = jnp.where(reflect_side, cos_i_c / jnp.pi, 0.0)
+    pdf_spec_h = common.ggx_vndf_pdf(cos_o, nh, oh, alpha)
+    pdf_spec = jnp.where(reflect_side, pdf_spec_h / jnp.maximum(4.0 * oh, 1e-8), 0.0)
+    pdf_cc_h = d_cc * nh  # GTR1 sampled proportional to D * cos
+    pdf_cc = jnp.where(reflect_side, pdf_cc_h / jnp.maximum(4.0 * oh, 1e-8), 0.0)
+    return f_reflect, {
+        "diffuse": pdf_diffuse,
+        "specular": pdf_spec,
+        "clearcoat": pdf_cc,
+    }
+
+
+def _eval_transmission(mat_rows, sd, wo_l, wi_l):
+    """Rough dielectric transmission (Walter 2007) with base-color tint.
+
+    ≙ `frosted.cuh` rough dielectric; Beer's-law volume absorption is applied
+    by the integrator along the interior segment, not here.
+    Returns (f_trans (R,3), pdf_trans (R,)).
+    """
+    cos_o = jnp.maximum(wo_l[..., 2], 1e-6)
+    cos_i = wi_l[..., 2]
+    trans_side = cos_i < -1e-6
+    eta = _eta(mat_rows, sd)  # eta_i / eta_t
+    # half vector for refraction: h = -(wo*eta_i + wi*eta_t) normalized.
+    # with our eta convention: h ∝ wo + wi/eta ... use wt = wo + wi/eta?
+    # Walter: h = -(eta_i * wi + eta_t * wo). Use unit-free form:
+    h = vm.normalize(wo_l + wi_l * (1.0 / eta)[..., None])
+    h = jnp.where((h[..., 2:3] < 0.0), -h, h)
+    oh = vm.dot(wo_l, h)
+    ih = vm.dot(wi_l, h)
+    nh = jnp.maximum(h[..., 2], 0.0)
+    alpha = _alpha(sd.roughness)
+    d = common.ggx_d(nh, alpha)
+    g = common.smith_g2(cos_o, jnp.abs(cos_i), alpha)
+    f_r = common.fresnel_dielectric(jnp.abs(oh), 1.0 / eta)
+    denom = jnp.maximum((oh + ih / eta) ** 2, 1e-8)
+    jac = jnp.abs(ih) / denom * (1.0 / (eta * eta))
+    f_t = (
+        (1.0 - f_r)
+        * d
+        * g
+        * jnp.abs(oh)
+        * jac
+        / jnp.maximum(cos_o * jnp.abs(cos_i), 1e-8)
+    )
+    spec_trans = mat_rows.spec_trans[sd.mat_idx]
+    w = (1.0 - sd.metallic) * spec_trans
+    color = jnp.sqrt(jnp.maximum(sd.base_color, 0.0))  # thin tint split
+    f_trans = jnp.where(
+        trans_side[..., None], (f_t * w)[..., None] * color, 0.0
+    )
+    pdf_h = common.ggx_vndf_pdf(cos_o, nh, jnp.maximum(oh, 0.0), alpha)
+    pdf_trans = jnp.where(
+        trans_side, pdf_h * jac * (1.0 - f_r), 0.0
+    )
+    return f_trans, pdf_trans
+
+
+def evaluate(materials, sd, wo, wi):
+    """Combined Disney f (no cosine) and sampling pdf. World-space wo/wi."""
+    wo_l = vm.to_local(wo, sd.normal)
+    wi_l = vm.to_local(wi, sd.normal)
+    # shading normal may disagree with geometric side; clamp wo to upper hemi
+    valid_o = wo_l[..., 2] > 1e-6
+    wo_l = wo_l.at[..., 2].set(jnp.maximum(wo_l[..., 2], 1e-6))
+
+    f_refl, pdfs = _eval_lobes(materials, sd, wo_l, wi_l)
+    f_trans, pdf_trans = _eval_transmission(materials, sd, wo_l, wi_l)
+    lobes = _lobe_probs(materials, sd)
+    f = f_refl + f_trans
+    pdf = (
+        lobes.p_diffuse * pdfs["diffuse"]
+        + lobes.p_specular * pdfs["specular"]
+        + lobes.p_clearcoat * pdfs["clearcoat"]
+        + lobes.p_transmission * pdf_trans
+    )
+    f = jnp.where(valid_o[..., None], f, 0.0)
+    pdf = jnp.where(valid_o, pdf, 0.0)
+    return f, pdf
+
+
+def sample(materials, sd, wo, u, key=None):
+    """Sample the Disney BSDF. u: (R,4) uniforms (2 for direction, 1 lobe
+    select, 1 spare). Returns (wi, f, pdf, is_specular)."""
+    wo_l = vm.to_local(wo, sd.normal)
+    wo_l = wo_l.at[..., 2].set(jnp.maximum(wo_l[..., 2], 1e-6))
+    lobes = _lobe_probs(materials, sd)
+    sel = u[..., 2]
+    c1 = lobes.p_diffuse
+    c2 = c1 + lobes.p_specular
+    c3 = c2 + lobes.p_clearcoat
+    pick_diffuse = sel < c1
+    pick_spec = (sel >= c1) & (sel < c2)
+    pick_cc = (sel >= c2) & (sel < c3)
+    pick_trans = sel >= c3
+
+    u2 = u[..., :2]
+    # diffuse: cosine hemisphere
+    wi_diff = sampling.sample_cosine_hemisphere(u2)
+    # specular: GGX VNDF reflect
+    alpha = _alpha(sd.roughness)
+    m_spec = sampling.sample_ggx_vndf(wo_l, jnp.sqrt(alpha), u2)
+    wi_spec = vm.reflect(-wo_l, m_spec)
+    # clearcoat: GTR1 D-sampling
+    cc_alpha = vm.lerp(0.1, 0.001, materials.clearcoat_gloss[sd.mat_idx])
+    a2 = jnp.clip(cc_alpha * cc_alpha, 1e-6, 1.0 - 1e-6)
+    cos2 = (1.0 - jnp.power(a2, 1.0 - u2[..., 0])) / (1.0 - a2)
+    cos_t = jnp.sqrt(jnp.clip(cos2, 0.0, 1.0))
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos2, 0.0))
+    phi = 2.0 * jnp.pi * u2[..., 1]
+    m_cc = jnp.stack(
+        [sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t], axis=-1
+    )
+    wi_cc = vm.reflect(-wo_l, m_cc)
+    # transmission: VNDF half-vector, refract (or reflect on TIR/Fresnel)
+    eta = _eta(materials, sd)
+    m_t = sampling.sample_ggx_vndf(wo_l, jnp.sqrt(alpha), u2)
+    cos_om = vm.dot(wo_l, m_t)
+    f_r = common.fresnel_dielectric(jnp.abs(cos_om), 1.0 / eta)
+    refr, tir = vm.refract(-wo_l, m_t, eta)
+    do_reflect_t = (u[..., 3] < f_r) | tir
+    wi_trans = jnp.where(
+        do_reflect_t[..., None], vm.reflect(-wo_l, m_t), vm.normalize(refr)
+    )
+
+    wi_l = jnp.where(
+        pick_diffuse[..., None],
+        wi_diff,
+        jnp.where(
+            pick_spec[..., None],
+            wi_spec,
+            jnp.where(pick_cc[..., None], wi_cc, wi_trans),
+        ),
+    )
+    wi = vm.to_world(wi_l, sd.normal)
+    f, pdf = evaluate(materials, sd, wo, wi)
+    # transmission reflect-branch pdf correction: the Fresnel reflection off a
+    # transmissive microfacet looks like the specular lobe; fold its
+    # probability into the pdf to stay unbiased.
+    oh = jnp.maximum(vm.dot(wo_l, vm.normalize(wo_l + wi_l)), 0.0)
+    nh = jnp.maximum(vm.normalize(wo_l + wi_l)[..., 2], 0.0)
+    pdf_spec_extra = common.ggx_vndf_pdf(
+        wo_l[..., 2], nh, oh, alpha
+    ) / jnp.maximum(4.0 * oh, 1e-8)
+    pdf = pdf + jnp.where(
+        wi_l[..., 2] > 0.0, lobes.p_transmission * f_r * pdf_spec_extra, 0.0
+    )
+    is_specular = (pick_spec | pick_cc | pick_trans) & (sd.roughness < 0.08)
+    return wi, f, pdf, is_specular

@@ -1,0 +1,104 @@
+"""Next-event estimation: light sampling + shadow-ray construction.
+
+TPU-native equivalent of `ShadeDirect`
+(`CUDAKernels/WaveFrontKernels/GPUShadeDirect.cu:42-153`): pick a triangle
+light, sample a point on it, evaluate the BSDF and geometry term, and emit a
+shadow ray carrying the *unshadowed* contribution; occlusion later zeroes it
+(≙ `ShadowRaysRayGen`, `Shaders/WaveFrontShaders.cu:114-179`).
+
+Light radiance is gathered differentiably from the scene (gradients w.r.t.
+emission flow through here).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..core import sampling
+from ..core import vecmath as vm
+from ..scene.scene import SceneData
+
+SHADOW_EPS = 1e-3
+
+
+class LightSample(NamedTuple):
+    light_idx: jnp.ndarray   # (R,) int32
+    point: jnp.ndarray       # (R,3) position on light
+    normal: jnp.ndarray      # (R,3) light geometric normal
+    radiance: jnp.ndarray    # (R,3)
+    pdf_area: jnp.ndarray    # (R,) pdf in area measure (select * point)
+    wi: jnp.ndarray          # (R,3) unit dir surface -> light
+    dist: jnp.ndarray        # (R,)
+    cos_light: jnp.ndarray   # (R,) |cos| at the light (0 if behind)
+    valid: jnp.ndarray       # (R,) bool
+
+
+def sample_light(scene: SceneData, u: jnp.ndarray, shading_pos: jnp.ndarray) -> LightSample:
+    """Uniformly pick one of the scene's triangle lights and a point on it.
+
+    u: (R,3) uniforms — u[:,0] selects the light, u[:,1:3] the point.
+    The M5 ReSTIR path replaces uniform selection with CDF/reservoir sampling.
+    """
+    lights = scene.lights
+    n_lights = jnp.maximum(lights.count, 1)
+    idx = jnp.minimum(
+        (u[:, 0] * n_lights.astype(jnp.float32)).astype(jnp.int32), n_lights - 1
+    )
+    bary = sampling.sample_triangle(u[:, 1:3])
+    p0 = lights.p0[idx]
+    e1 = lights.e1[idx]
+    e2 = lights.e2[idx]
+    point = p0 + bary[:, 1:2] * e1 + bary[:, 2:3] * e2
+    nrm = lights.normal[idx]
+    area = lights.area[idx]
+    rad = scene.light_radiance(idx)
+
+    to_light = point - shading_pos
+    dist = vm.length(to_light)
+    wi = to_light / jnp.maximum(dist[..., None], 1e-8)
+    cos_light = vm.dot(nrm, -wi)  # light emits from its front face
+    sel_pdf = 1.0 / n_lights.astype(jnp.float32)
+    pdf_area = sel_pdf / jnp.maximum(area, 1e-12)
+    valid = (lights.count > 0) & (cos_light > 1e-6) & (area > 1e-12) & (dist > 1e-5)
+    return LightSample(
+        light_idx=idx,
+        point=point,
+        normal=nrm,
+        radiance=rad,
+        pdf_area=pdf_area,
+        wi=wi,
+        dist=dist,
+        cos_light=jnp.maximum(cos_light, 0.0),
+        valid=valid,
+    )
+
+
+def pdf_solid_angle(ls: LightSample) -> jnp.ndarray:
+    """Convert the area pdf to solid-angle measure at the shading point."""
+    return ls.pdf_area * ls.dist * ls.dist / jnp.maximum(ls.cos_light, 1e-6)
+
+
+def light_pdf_solid_angle(
+    scene: SceneData,
+    shading_pos: jnp.ndarray,
+    wi: jnp.ndarray,
+    hit_t: jnp.ndarray,
+    hit_tri: jnp.ndarray,
+) -> jnp.ndarray:
+    """Solid-angle pdf that NEE would have used for direction wi hitting
+    triangle `hit_tri` at distance `hit_t` (for MIS weighting of BSDF hits).
+
+    Uses the precomputed (T,) tri→light inverse table, a single gather.
+    """
+    lights = scene.lights
+    row = lights.tri_to_light[jnp.maximum(hit_tri, 0)]
+    found = (hit_tri >= 0) & (row >= 0)
+    row = jnp.maximum(row, 0)
+    area = lights.area[row]
+    nrm = lights.normal[row]
+    cos_l = jnp.maximum(vm.dot(nrm, -wi), 0.0)
+    n_lights = jnp.maximum(lights.count, 1).astype(jnp.float32)
+    pdf_a = (1.0 / n_lights) / jnp.maximum(area, 1e-12)
+    pdf_sa = pdf_a * hit_t * hit_t / jnp.maximum(cos_l, 1e-6)
+    return jnp.where(found & (cos_l > 1e-6), pdf_sa, 0.0)

@@ -1,0 +1,120 @@
+"""Hit → SurfaceData extraction.
+
+TPU-native equivalent of `ExtractSurfaceDataGpu`
+(`CUDAKernels/WaveFrontKernels/GPUExtractSurfaceData.cu:8-228`): barycentric
+interpolation of normal/tangent/UV, normal mapping, emissive flags and Disney
+parameter texture modulation — as batched gathers + VPU math instead of a
+per-ray CUDA kernel. The `SurfaceData` struct mirrors
+`Shaders/CppCommon/WaveFrontDataStructs/SurfaceData.h:18-108`.
+"""
+from __future__ import annotations
+
+import chex
+import jax.numpy as jnp
+
+from ..core import vecmath as vm
+from ..scene.scene import SceneData
+from ..scene.textures import sample_bilinear
+
+
+@chex.dataclass(frozen=True)
+class SurfaceData:
+    """Per-ray shading inputs (all (R,...) batched)."""
+
+    position: jnp.ndarray      # (R,3) world hit position
+    normal: jnp.ndarray        # (R,3) shading normal (normal-mapped, faceted fallback)
+    geo_normal: jnp.ndarray    # (R,3) geometric normal
+    uv: jnp.ndarray            # (R,2)
+    base_color: jnp.ndarray    # (R,3) textured albedo
+    emissive: jnp.ndarray      # (R,3) textured emissive radiance
+    metallic: jnp.ndarray      # (R,)
+    roughness: jnp.ndarray     # (R,)
+    alpha: jnp.ndarray         # (R,) opacity from base-color texture alpha
+    mat_idx: jnp.ndarray       # (R,) int32
+    tri_idx: jnp.ndarray       # (R,) int32 (-1 = miss)
+    valid: jnp.ndarray         # (R,) bool hit mask
+    is_emissive: jnp.ndarray   # (R,) bool (≙ SurfaceFlags::EMISSIVE)
+    front_face: jnp.ndarray    # (R,) bool — ray hit the front side (for IOR)
+
+
+def extract_surface_data(
+    scene: SceneData,
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    hit_t: jnp.ndarray,
+    hit_tri: jnp.ndarray,
+    hit_u: jnp.ndarray,
+    hit_v: jnp.ndarray,
+) -> SurfaceData:
+    valid = hit_tri >= 0
+    tri = jnp.maximum(hit_tri, 0)
+
+    pos3 = scene.tri_pos[tri]        # (R,3,3)
+    nrm3 = scene.tri_normal[tri]     # (R,3,3)
+    uv3 = scene.tri_uv[tri]          # (R,3,2)
+    tan3 = scene.tri_tangent[tri]    # (R,3,4)
+    mat_idx = scene.tri_mat[tri]
+    inst_idx = scene.tri_inst[tri]
+
+    w = (1.0 - hit_u - hit_v)[..., None]
+    u_ = hit_u[..., None]
+    v_ = hit_v[..., None]
+    # position from ray equation (more robust than barycentric for grazing t)
+    position = ray_o + hit_t[..., None] * ray_d
+    normal = vm.normalize(w * nrm3[:, 0] + u_ * nrm3[:, 1] + v_ * nrm3[:, 2])
+    uv = w * uv3[:, 0] + u_ * uv3[:, 1] + v_ * uv3[:, 2]
+    tangent = vm.normalize(
+        w * tan3[:, 0, :3] + u_ * tan3[:, 1, :3] + v_ * tan3[:, 2, :3]
+    )
+    handed = jnp.sign(tan3[:, 0, 3] + 1e-8)
+    geo_normal = vm.normalize(
+        jnp.cross(pos3[:, 1] - pos3[:, 0], pos3[:, 2] - pos3[:, 0])
+    )
+    # orient shading normal to the geometric side facing the ray
+    front_face = vm.dot(geo_normal, -ray_d) >= 0.0
+    flip = jnp.where(front_face, 1.0, -1.0)
+    geo_normal = geo_normal * flip[..., None]
+    normal = jnp.where(vm.dot(normal, geo_normal)[..., None] < 0.0, -normal, normal)
+
+    mats = scene.materials
+    base_tex = sample_bilinear(scene.textures, mats.base_color_tex[mat_idx], uv)
+    base_color = mats.base_color[mat_idx] * base_tex[..., :3]
+    alpha = base_tex[..., 3]
+    em_tex = sample_bilinear(scene.textures, mats.emissive_tex[mat_idx], uv)
+    emissive = mats.emissive[mat_idx] * em_tex[..., :3]
+    # instance emission override (≙ DevicePrimitiveInstance override modes)
+    mode = scene.inst_emission_mode[inst_idx]
+    override = scene.inst_emission_override[inst_idx]
+    emissive = jnp.where((mode == 2)[..., None], override, emissive)
+    emissive = jnp.where((mode == 0)[..., None], 0.0, emissive)
+
+    mr_tex = sample_bilinear(scene.textures, mats.metal_rough_tex[mat_idx], uv)
+    # glTF convention: G = roughness, B = metallic
+    roughness = mats.roughness[mat_idx] * mr_tex[..., 1]
+    metallic = mats.metallic[mat_idx] * mr_tex[..., 2]
+
+    # normal mapping (≙ GPUExtractSurfaceData tangent-frame perturbation)
+    nm_id = mats.normal_tex[mat_idx]
+    nm = sample_bilinear(scene.textures, nm_id, uv)[..., :3] * 2.0 - 1.0
+    bitan = jnp.cross(normal, tangent) * handed[..., None]
+    mapped = vm.normalize(
+        nm[..., 0:1] * tangent + nm[..., 1:2] * bitan + nm[..., 2:3] * normal
+    )
+    normal = jnp.where((nm_id >= 0)[..., None], mapped, normal)
+
+    return SurfaceData(
+        position=position,
+        normal=normal,
+        geo_normal=geo_normal,
+        uv=uv,
+        base_color=base_color,
+        emissive=emissive,
+        metallic=metallic,
+        roughness=roughness,
+        alpha=alpha,
+        mat_idx=mat_idx,
+        tri_idx=hit_tri,
+        valid=valid,
+        is_emissive=vm.luminance(emissive) > 0.0,
+        front_face=front_face,
+    )

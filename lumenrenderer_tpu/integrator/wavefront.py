@@ -1,0 +1,291 @@
+"""The wavefront path-tracing frame function.
+
+TPU-native re-architecture of the reference's `WaveFrontRenderer::TraceFrame`
+(`Framework/WaveFrontRenderer.cpp:435-1089`) and its per-depth kernel chain
+(`CPUShadingKernels.cu:89-253`): instead of a host loop with per-depth
+atomic-counter readbacks and separate CUDA launches, the whole frame is ONE
+jitted XLA program — a statically unrolled depth loop over fixed-size ray
+batches with masked lanes. There is no host↔device traffic inside a frame.
+
+Light-channel semantics mirror `LightChannel` (`ShadowRayData.h:13-64`):
+DIRECT gets primary-hit emissive + primary NEE; INDIRECT gets bounce NEE and
+(in MIS mode) weighted BSDF-sampled emissive; SPECULAR gets near-delta lobes.
+
+Light transport strategies:
+  "nee"  — reference semantics: emissive visible at depth 0 only + NEE at
+           every vertex (`GPUShadeDirect.cu` + `ResolveDirectLightHits`).
+  "bsdf" — pure BSDF sampling (ground-truth cross-check).
+  "mis"  — NEE + BSDF with power-heuristic weights (default; strictly lower
+           variance than the reference).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..bsdf import disney as disney_mod
+from ..bsdf import lambert
+from ..core import camera as camera_mod
+from ..core import sampling
+from ..core import vecmath as vm
+from ..scene.scene import SceneData
+from . import nee as nee_mod
+from .surface import SurfaceData, extract_surface_data
+
+RAY_EPS = 1e-3
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static (trace-time) renderer configuration.
+
+    ≙ `WaveFrontSettings` (`Framework/WaveFrontRenderer.h:31-48`): depth,
+    render resolution; plus the strategy switches the reference fixes at
+    compile time.
+    """
+
+    width: int = 128
+    height: int = 128
+    max_depth: int = 5            # ≙ Config.json depth=5
+    bsdf: str = "disney"          # "lambert" | "disney"
+    light_strategy: str = "mis"   # "nee" | "bsdf" | "mis"
+    rr_start_depth: int = 2       # russian roulette from this bounce on
+    rr_min_prob: float = 0.05
+    use_restir: bool = False      # M5: ReSTIR DI for primary hits
+    jitter: str = "random"        # "halton" | "random" | "center"
+    alpha_test: bool = False      # stochastic alpha transparency
+
+    @property
+    def num_pixels(self) -> int:
+        return self.width * self.height
+
+
+def _bsdf_sample(cfg: RenderConfig, sd: SurfaceData, mats, wo, u, key):
+    if cfg.bsdf == "lambert":
+        wi, f, pdf = lambert.sample_brdf(sd.base_color, sd.normal, wo, u[..., :2])
+        is_specular = jnp.zeros(wo.shape[:-1], bool)
+        return wi, f, pdf, is_specular
+    return disney_mod.sample(mats, sd, wo, u, key)
+
+
+def _bsdf_eval(cfg: RenderConfig, sd: SurfaceData, mats, wo, wi):
+    if cfg.bsdf == "lambert":
+        return lambert.eval_brdf(sd.base_color, sd.normal, wo, wi)
+    return disney_mod.evaluate(mats, sd, wo, wi)
+
+
+def render_wavefront(
+    scene: SceneData,
+    intersect_fn: Callable,
+    occlude_fn: Callable,
+    camera: camera_mod.Camera,
+    key: jax.Array,
+    frame_index: jnp.ndarray,
+    cfg: RenderConfig,
+    restir_state: Optional[Any] = None,
+    restir_fn: Optional[Callable] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Trace one 1-spp frame. Returns a dict of AOVs:
+
+    direct/indirect/specular: (N,3) light channels (N = W*H row-major),
+    depth: (N,), normal/albedo: (N,3) primary-hit AOVs (denoiser inputs,
+    ≙ the reference's denoiser feature buffers), motion: (N,2).
+
+    intersect_fn(o, d, tmin, tmax) -> {"t","tri","u","v"}
+    occlude_fn(o, d, tmin, tmax) -> bool occlusion mask
+    """
+    n = cfg.num_pixels
+    f32 = jnp.float32
+
+    # ---- primary rays (≙ GeneratePrimaryRays, Halton jitter) ----
+    key_j, key = jax.random.split(key)
+    ray_o, ray_d = camera_mod.generate_primary_rays(
+        camera, cfg.width, cfg.height, frame_index, key=key_j, jitter=cfg.jitter
+    )
+    throughput = jnp.ones((n, 3), f32)
+    alive = jnp.ones((n,), bool)
+    # pdf of the previous BSDF sampling event (for MIS); inf => delta/primary
+    prev_pdf = jnp.full((n,), jnp.inf, f32)
+    prev_specular = jnp.ones((n,), bool)
+
+    direct = jnp.zeros((n, 3), f32)
+    indirect = jnp.zeros((n, 3), f32)
+    specular_ch = jnp.zeros((n, 3), f32)
+    aovs: Dict[str, jnp.ndarray] = {}
+    new_restir_state = restir_state
+
+    t_min = jnp.asarray(RAY_EPS, f32)
+    t_max = camera.t_max
+
+    for depth in range(cfg.max_depth):
+        dkey = jax.random.fold_in(key, depth)
+
+        # ---- intersect (≙ optixLaunch INTERSECTION) ----
+        hits = intersect_fn(ray_o, ray_d, t_min, t_max)
+        sd = extract_surface_data(
+            scene, ray_o, ray_d, hits["t"], hits["tri"], hits["u"], hits["v"]
+        )
+        hit_mask = sd.valid & alive
+        wo = -ray_d
+
+        # ---- miss: environment contribution ----
+        env_w = jnp.ones((n,), f32)
+        if cfg.light_strategy == "mis" and depth > 0:
+            env_w = jnp.where(prev_specular, 1.0, env_w)  # env has no NEE here
+        env_contrib = jnp.where(
+            (alive & ~sd.valid)[:, None], throughput * scene.env_radiance[None, :], 0.0
+        )
+        if depth == 0:
+            direct = direct + env_contrib
+        else:
+            indirect = indirect + env_contrib
+
+        # ---- primary-hit AOVs (denoiser inputs / motion vectors) ----
+        if depth == 0:
+            aovs["depth"] = jnp.where(hit_mask, hits["t"], 0.0)
+            aovs["normal"] = jnp.where(hit_mask[:, None], sd.normal, 0.0)
+            aovs["albedo"] = jnp.where(hit_mask[:, None], sd.base_color, 0.0)
+            aovs["motion"] = camera_mod.motion_vectors(
+                sd.position, hit_mask, camera, cfg.width, cfg.height
+            )
+
+        # ---- emissive surface hit (≙ ResolveDirectLightHits at depth 0) ----
+        em = throughput * sd.emissive
+        if depth == 0:
+            direct = direct + jnp.where(hit_mask[:, None], em, 0.0)
+        elif cfg.light_strategy == "bsdf":
+            indirect = indirect + jnp.where(hit_mask[:, None], em, 0.0)
+        elif cfg.light_strategy == "mis":
+            lpdf = nee_mod.light_pdf_solid_angle(
+                scene, ray_o, ray_d, hits["t"], hits["tri"]
+            )
+            w = jnp.where(
+                prev_specular, 1.0, sampling.power_heuristic(prev_pdf, lpdf)
+            )
+            indirect = indirect + jnp.where(
+                hit_mask[:, None], em * w[:, None], 0.0
+            )
+        # "nee": bounce emissive dropped, matching the reference.
+
+        # ---- stochastic alpha transparency ----
+        if cfg.alpha_test:
+            akey = jax.random.fold_in(dkey, 17)
+            a_u = jax.random.uniform(akey, (n,))
+            passthrough = hit_mask & (sd.alpha < a_u)
+            # continue the ray through the surface without shading
+            hit_mask = hit_mask & ~passthrough
+        else:
+            passthrough = jnp.zeros((n,), bool)
+
+        # ---- NEE / ReSTIR direct lighting ----
+        do_nee = cfg.light_strategy in ("nee", "mis")
+        use_restir_here = (
+            cfg.use_restir and depth == 0 and restir_fn is not None
+        )
+        if use_restir_here:
+            # ≙ ReSTIR::Run at depth 0 → DIRECT channel
+            restir_out, new_restir_state = restir_fn(
+                scene, sd, wo, hit_mask, restir_state, dkey
+            )
+            direct = direct + throughput * restir_out
+        elif do_nee:
+            nkey = jax.random.fold_in(dkey, 1)
+            u3 = jax.random.uniform(nkey, (n, 3))
+            ls = nee_mod.sample_light(scene, u3, sd.position)
+            cos_s = vm.dot(sd.normal, ls.wi)
+            f_val, bsdf_pdf = _bsdf_eval(cfg, sd, scene.materials, wo, ls.wi)
+            pdf_sa = nee_mod.pdf_solid_angle(ls)
+            contrib_valid = (
+                hit_mask & ls.valid & (cos_s > 0.0) & (pdf_sa > 1e-12)
+            )
+            if cfg.light_strategy == "mis":
+                mis_w = sampling.power_heuristic(pdf_sa, bsdf_pdf)
+            else:
+                mis_w = jnp.ones((n,), f32)
+            unshadowed = (
+                throughput
+                * f_val
+                * ls.radiance
+                * (jnp.maximum(cos_s, 0.0) * mis_w / jnp.maximum(pdf_sa, 1e-12))[
+                    :, None
+                ]
+            )
+            # shadow ray (≙ ShadowRaysRayGen): offset along geometric normal
+            so = sd.position + sd.geo_normal * RAY_EPS
+            occluded = occlude_fn(
+                so, ls.wi, jnp.asarray(RAY_EPS, f32), ls.dist - 2.0 * RAY_EPS
+            )
+            shadowed = jnp.where(
+                (contrib_valid & ~occluded)[:, None], unshadowed, 0.0
+            )
+            if depth == 0:
+                direct = direct + shadowed
+            else:
+                indirect = indirect + shadowed
+
+        # ---- BSDF sampling for the next bounce (≙ ShadeIndirect) ----
+        if depth + 1 < cfg.max_depth:
+            skey = jax.random.fold_in(dkey, 2)
+            u_b = jax.random.uniform(skey, (n, 4))
+            wi, f_val, pdf, is_spec = _bsdf_sample(
+                cfg, sd, scene.materials, wo, u_b, skey
+            )
+            cos_i = jnp.abs(vm.dot(sd.normal, wi))
+            valid_bounce = hit_mask & (pdf > 1e-9) & jnp.all(
+                jnp.isfinite(wi), axis=-1
+            )
+            new_tp = throughput * f_val * (cos_i / jnp.maximum(pdf, 1e-9))[:, None]
+            new_tp = jnp.where(valid_bounce[:, None], new_tp, 0.0)
+
+            # russian roulette (≙ ShadeIndirect RR on max channel)
+            if depth >= cfg.rr_start_depth:
+                rkey = jax.random.fold_in(dkey, 3)
+                p_survive = jnp.clip(
+                    jnp.max(new_tp, axis=-1), cfg.rr_min_prob, 1.0
+                )
+                u_rr = jax.random.uniform(rkey, (n,))
+                survive = u_rr < p_survive
+                new_tp = jnp.where(
+                    survive[:, None], new_tp / p_survive[:, None], 0.0
+                )
+                valid_bounce = valid_bounce & survive
+
+            # offset origin on the outgoing side of the geometric normal
+            side = jnp.sign(vm.dot(sd.geo_normal, wi))[..., None]
+            bounce_o = sd.position + sd.geo_normal * side * RAY_EPS
+            # alpha passthrough continues straight (keeps throughput & pdf)
+            next_o = jnp.where(
+                passthrough[:, None],
+                sd.position + ray_d * RAY_EPS,
+                bounce_o,
+            )
+            next_d = jnp.where(passthrough[:, None], ray_d, wi)
+            next_alive = valid_bounce | passthrough
+
+            ray_o = jnp.where(next_alive[:, None], next_o, ray_o)
+            ray_d = jnp.where(next_alive[:, None], next_d, ray_d)
+            throughput = jnp.where(passthrough[:, None], throughput, new_tp)
+            prev_pdf = jnp.where(passthrough, prev_pdf, pdf)
+            prev_specular = jnp.where(passthrough, prev_specular, is_spec)
+            # near-delta bounces route to the SPECULAR channel later; track mask
+            alive = next_alive & (jnp.max(throughput, axis=-1) > 0.0)
+
+    return {
+        "direct": direct,
+        "indirect": indirect,
+        "specular": specular_ch,
+        **aovs,
+        "restir_state": new_restir_state,
+    }
+
+
+def merge_channels(out: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """≙ MergeOutputChannels (`CPUShadingKernels.cu:253-271`): sum the light
+    channels into the combined radiance image (N,3)."""
+    img = out["direct"] + out["indirect"] + out["specular"]
+    if "volumetric" in out and out["volumetric"] is not None:
+        img = img + out["volumetric"][..., :3]
+    return img

@@ -1,0 +1,122 @@
+"""Material table: structure-of-arrays Disney BSDF parameters.
+
+TPU-native replacement for the reference's packed `MaterialData`
+(`Shaders/CppCommon/MaterialStructs.h:13-263`) and `PTMaterial`
+(`Framework/PTMaterial.{h,cpp}`). Instead of byte-packed float4 records,
+parameters are plain float32 SoA arrays living in a pytree — indexed with
+gathers on device, and *differentiable* (gradients w.r.t. any parameter flow
+through the renderer, which the CUDA reference cannot do).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List
+
+import chex
+import jax.numpy as jnp
+import numpy as np
+
+
+@chex.dataclass(frozen=True)
+class MaterialTable:
+    """Device-side SoA of Disney parameters; row i = material id i.
+
+    Texture ids index into the scene's texture atlas; -1 means "no texture"
+    (the reference uses default white/normal textures instead,
+    `Renderer/LumenRenderer.cpp`; we fold that into the sampler).
+    """
+
+    base_color: jnp.ndarray        # (M,3)
+    emissive: jnp.ndarray          # (M,3) radiance scale * color
+    metallic: jnp.ndarray          # (M,)
+    roughness: jnp.ndarray         # (M,)
+    subsurface: jnp.ndarray        # (M,)
+    specular: jnp.ndarray          # (M,)
+    spec_tint: jnp.ndarray         # (M,)
+    anisotropic: jnp.ndarray       # (M,)
+    sheen: jnp.ndarray             # (M,)
+    sheen_tint: jnp.ndarray        # (M,)
+    clearcoat: jnp.ndarray         # (M,)
+    clearcoat_gloss: jnp.ndarray   # (M,)
+    spec_trans: jnp.ndarray        # (M,) transmission weight
+    ior: jnp.ndarray               # (M,) index of refraction
+    transmittance: jnp.ndarray     # (M,3) Beer's-law per-channel extinction color
+    # Texture bindings (int32, -1 = none)
+    base_color_tex: jnp.ndarray
+    emissive_tex: jnp.ndarray
+    normal_tex: jnp.ndarray
+    metal_rough_tex: jnp.ndarray
+
+    def gather(self, idx: jnp.ndarray) -> "MaterialTable":
+        """Gather per-ray material rows (idx: (...,) int32)."""
+        import jax
+
+        return jax.tree_util.tree_map(lambda a: a[idx], self)
+
+    @property
+    def count(self) -> int:
+        return self.base_color.shape[0]
+
+
+@dataclasses.dataclass
+class MaterialSpec:
+    """Host-side material description (mirrors `LumenRenderer::MaterialData`,
+    `Renderer/LumenRenderer.h:44-141`)."""
+
+    base_color: tuple = (0.8, 0.8, 0.8)
+    emissive: tuple = (0.0, 0.0, 0.0)
+    metallic: float = 0.0
+    roughness: float = 0.5
+    subsurface: float = 0.0
+    specular: float = 0.5
+    spec_tint: float = 0.0
+    anisotropic: float = 0.0
+    sheen: float = 0.0
+    sheen_tint: float = 0.5
+    clearcoat: float = 0.0
+    clearcoat_gloss: float = 1.0
+    spec_trans: float = 0.0
+    ior: float = 1.5
+    transmittance: tuple = (1.0, 1.0, 1.0)
+    base_color_tex: int = -1
+    emissive_tex: int = -1
+    normal_tex: int = -1
+    metal_rough_tex: int = -1
+
+
+def build_material_table(specs: List[MaterialSpec]) -> MaterialTable:
+    """Pack host MaterialSpecs into a device MaterialTable."""
+    if not specs:
+        specs = [MaterialSpec()]
+
+    def f(name):
+        return jnp.asarray(
+            np.array([getattr(s, name) for s in specs], dtype=np.float32)
+        )
+
+    def i(name):
+        return jnp.asarray(
+            np.array([getattr(s, name) for s in specs], dtype=np.int32)
+        )
+
+    return MaterialTable(
+        base_color=f("base_color"),
+        emissive=f("emissive"),
+        metallic=f("metallic"),
+        roughness=f("roughness"),
+        subsurface=f("subsurface"),
+        specular=f("specular"),
+        spec_tint=f("spec_tint"),
+        anisotropic=f("anisotropic"),
+        sheen=f("sheen"),
+        sheen_tint=f("sheen_tint"),
+        clearcoat=f("clearcoat"),
+        clearcoat_gloss=f("clearcoat_gloss"),
+        spec_trans=f("spec_trans"),
+        ior=f("ior"),
+        transmittance=f("transmittance"),
+        base_color_tex=i("base_color_tex"),
+        emissive_tex=i("emissive_tex"),
+        normal_tex=i("normal_tex"),
+        metal_rough_tex=i("metal_rough_tex"),
+    )

@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Headline benchmark: ms/frame and rays/s at 1440p 1spp on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline (BASELINE.md): the reference targets 30 fps at 1440p on an RTX 3090
+(33.3 ms/frame). vs_baseline = baseline_ms / our_ms (>1 = faster than the
+reference's target).
+
+Configurable via env:
+  BENCH_W/BENCH_H   resolution         (default 2560x1440)
+  BENCH_DEPTH       max path depth     (default 5, ≙ reference Config.json)
+  BENCH_FRAMES      timed frames       (default 8)
+  BENCH_BOXES       procedural boxes   (default 600 ≈ 7.5k tris)
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    w = int(os.environ.get("BENCH_W", 2560))
+    h = int(os.environ.get("BENCH_H", 1440))
+    depth = int(os.environ.get("BENCH_DEPTH", 5))
+    frames = int(os.environ.get("BENCH_FRAMES", 8))
+    boxes = int(os.environ.get("BENCH_BOXES", 600))
+
+    from lumenrenderer_tpu.integrator.wavefront import RenderConfig
+    from lumenrenderer_tpu.render.renderer import Renderer
+    from lumenrenderer_tpu.scene import presets
+
+    scene, camf = presets.interior_scene(n_boxes=boxes, n_lights=64)
+    sc, cam = scene.build(), camf(w / h)
+    cfg = RenderConfig(
+        width=w, height=h, max_depth=depth, bsdf="disney", light_strategy="mis"
+    )
+    r = Renderer(sc, cfg, accel="bvh", leaf_size=4)
+    st = r.init_state(0)
+
+    # warmup / compile
+    st, _ = r.render_frame(st, cam)
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        st, _ = r.render_frame(st, cam)
+    jax.block_until_ready(st.accum)
+    dt = (time.perf_counter() - t0) / frames
+    ms = dt * 1e3
+    rays_per_s = w * h / dt  # primary paths (1spp) per second
+    baseline_ms = 1000.0 / 30.0
+    result = {
+        "metric": f"ms/frame {w}x{h}@1spp depth{depth} ({sc.num_triangles} tris, disney+MIS)",
+        "value": round(ms, 2),
+        "unit": "ms",
+        "vs_baseline": round(baseline_ms / ms, 3),
+        "rays_per_s": round(rays_per_s),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

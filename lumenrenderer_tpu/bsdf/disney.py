@@ -273,6 +273,11 @@ def sample(materials, sd, wo, u, key=None):
             jnp.where(pick_cc[..., None], wi_cc, wi_trans),
         ),
     )
+    # Detached-sampling: the sampled direction is sampling machinery — cut
+    # its (roughness-dependent) backward chain here so `f = evaluate(wi)`
+    # only carries shading gradients. Without this, sqrt(0) corners in the
+    # VNDF warp produce NaN cotangents.
+    wi_l = jax.lax.stop_gradient(wi_l)
     wi = vm.to_world(wi_l, sd.normal)
     f, pdf = evaluate(materials, sd, wo, wi)
     # transmission reflect-branch pdf correction: the Fresnel reflection off a

@@ -59,8 +59,11 @@ def extract_surface_data(
     w = (1.0 - hit_u - hit_v)[..., None]
     u_ = hit_u[..., None]
     v_ = hit_v[..., None]
-    # position from ray equation (more robust than barycentric for grazing t)
-    position = ray_o + hit_t[..., None] * ray_d
+    # position from ray equation (more robust than barycentric for grazing t).
+    # Sanitize t on miss lanes (t=inf) — inf*0 NaNs would otherwise poison
+    # both downstream values and reverse-mode cotangents.
+    t_safe = jnp.where(valid, hit_t, 1.0)
+    position = ray_o + t_safe[..., None] * ray_d
     normal = vm.normalize(w * nrm3[:, 0] + u_ * nrm3[:, 1] + v_ * nrm3[:, 2])
     uv = w * uv3[:, 0] + u_ * uv3[:, 1] + v_ * uv3[:, 2]
     tangent = vm.normalize(

@@ -57,6 +57,13 @@ class RenderConfig:
     use_restir: bool = False      # M5: ReSTIR DI for primary hits
     jitter: str = "random"        # "halton" | "random" | "center"
     alpha_test: bool = False      # stochastic alpha transparency
+    # Differentiability (M4): "detached sampling" discipline — BVH hits,
+    # sampled directions, pdfs, MIS and RR weights are stop-gradient'ed so
+    # pixel gradients w.r.t. material/emission/volume params are unbiased
+    # estimates of the true parameter derivative (north star: detached
+    # traversal/hit ids + differentiable shading). Costs nothing at
+    # inference; keep True.
+    detach_sampling: bool = True
 
     @property
     def num_pixels(self) -> int:
@@ -99,6 +106,20 @@ def render_wavefront(
     """
     n = cfg.num_pixels
     f32 = jnp.float32
+    sg = jax.lax.stop_gradient if cfg.detach_sampling else (lambda x: x)
+
+    if cfg.detach_sampling:
+        # Detach geometry through the accel structure: reverse-mode AD cannot
+        # (and must not) flow through the traversal while_loop; hit ids/t are
+        # discrete/geometric and carry no material gradients.
+        raw_isect, raw_occl = intersect_fn, occlude_fn
+        intersect_fn = lambda o, d, tn, tx: jax.tree_util.tree_map(
+            jax.lax.stop_gradient,
+            raw_isect(jax.lax.stop_gradient(o), jax.lax.stop_gradient(d), tn, tx),
+        )
+        occlude_fn = lambda o, d, tn, tx: jax.lax.stop_gradient(
+            raw_occl(jax.lax.stop_gradient(o), jax.lax.stop_gradient(d), tn, tx)
+        )
 
     # ---- primary rays (≙ GeneratePrimaryRays, Halton jitter) ----
     key_j, key = jax.random.split(key)
@@ -128,6 +149,14 @@ def render_wavefront(
         sd = extract_surface_data(
             scene, ray_o, ray_d, hits["t"], hits["tri"], hits["u"], hits["v"]
         )
+        if cfg.detach_sampling:
+            # geometry is static w.r.t. differentiated params — detach it so
+            # no grads are attempted through ray-position chains
+            sd = sd.replace(
+                position=sg(sd.position),
+                normal=sg(sd.normal),
+                geo_normal=sg(sd.geo_normal),
+            )
         hit_mask = sd.valid & alive
         wo = -ray_d
 
@@ -163,11 +192,10 @@ def render_wavefront(
                 scene, ray_o, ray_d, hits["t"], hits["tri"]
             )
             w = jnp.where(
-                prev_specular, 1.0, sampling.power_heuristic(prev_pdf, lpdf)
+                prev_specular, 1.0, sg(sampling.power_heuristic(prev_pdf, lpdf))
             )
-            indirect = indirect + jnp.where(
-                hit_mask[:, None], em * w[:, None], 0.0
-            )
+            w = jnp.where(hit_mask, w, 0.0)  # mask in the scalar (NaN-safe bwd)
+            indirect = indirect + em * w[:, None]
         # "nee": bounce emissive dropped, matching the reference.
 
         # ---- stochastic alpha transparency ----
@@ -202,25 +230,24 @@ def render_wavefront(
                 hit_mask & ls.valid & (cos_s > 0.0) & (pdf_sa > 1e-12)
             )
             if cfg.light_strategy == "mis":
-                mis_w = sampling.power_heuristic(pdf_sa, bsdf_pdf)
+                mis_w = sg(sampling.power_heuristic(pdf_sa, bsdf_pdf))
             else:
                 mis_w = jnp.ones((n,), f32)
-            unshadowed = (
-                throughput
-                * f_val
-                * ls.radiance
-                * (jnp.maximum(cos_s, 0.0) * mis_w / jnp.maximum(pdf_sa, 1e-12))[
-                    :, None
-                ]
-            )
             # shadow ray (≙ ShadowRaysRayGen): offset along geometric normal
             so = sd.position + sd.geo_normal * RAY_EPS
             occluded = occlude_fn(
                 so, ls.wi, jnp.asarray(RAY_EPS, f32), ls.dist - 2.0 * RAY_EPS
             )
-            shadowed = jnp.where(
-                (contrib_valid & ~occluded)[:, None], unshadowed, 0.0
+            # fold validity+occlusion into the detached scalar BEFORE the
+            # product so no NaN/inf value ever multiplies a live cotangent
+            scale = jnp.where(
+                contrib_valid & ~occluded,
+                jnp.maximum(sg(cos_s), 0.0)
+                * mis_w
+                / jnp.maximum(sg(pdf_sa), 1e-12),
+                0.0,
             )
+            shadowed = throughput * f_val * ls.radiance * scale[:, None]
             if depth == 0:
                 direct = direct + shadowed
             else:
@@ -233,18 +260,23 @@ def render_wavefront(
             wi, f_val, pdf, is_spec = _bsdf_sample(
                 cfg, sd, scene.materials, wo, u_b, skey
             )
+            # detached-sampling discipline: the direction and its density are
+            # sampling machinery, not integrand — detach them; f stays live.
+            wi = sg(wi)
             cos_i = jnp.abs(vm.dot(sd.normal, wi))
             valid_bounce = hit_mask & (pdf > 1e-9) & jnp.all(
                 jnp.isfinite(wi), axis=-1
             )
-            new_tp = throughput * f_val * (cos_i / jnp.maximum(pdf, 1e-9))[:, None]
+            new_tp = (
+                throughput * f_val * (sg(cos_i) / jnp.maximum(sg(pdf), 1e-9))[:, None]
+            )
             new_tp = jnp.where(valid_bounce[:, None], new_tp, 0.0)
 
             # russian roulette (≙ ShadeIndirect RR on max channel)
             if depth >= cfg.rr_start_depth:
                 rkey = jax.random.fold_in(dkey, 3)
-                p_survive = jnp.clip(
-                    jnp.max(new_tp, axis=-1), cfg.rr_min_prob, 1.0
+                p_survive = sg(
+                    jnp.clip(jnp.max(new_tp, axis=-1), cfg.rr_min_prob, 1.0)
                 )
                 u_rr = jax.random.uniform(rkey, (n,))
                 survive = u_rr < p_survive

@@ -140,6 +140,74 @@ def furnace_scene(albedo: float = 0.5, env: float = 1.0):
     return b, make_camera
 
 
+def interior_scene(n_boxes: int = 600, n_lights: int = 64, seed: int = 0):
+    """Procedural many-light interior: a big room filled with random boxes and
+    many emissive panels — the benchmark/ReSTIR workload (≙ BASELINE config 3
+    'many-light interior scene'). ~12 tris/box + room + lights."""
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder()
+    mats = [
+        b.add_material(
+            MaterialSpec(
+                base_color=tuple(rng.uniform(0.2, 0.9, 3)),
+                roughness=float(rng.uniform(0.1, 1.0)),
+                metallic=float(rng.uniform(0, 1) < 0.2),
+            )
+        )
+        for _ in range(16)
+    ]
+    white = b.add_material(MaterialSpec(base_color=(0.7, 0.7, 0.7), roughness=1.0))
+    room = 20.0
+    # room shell (inward-facing box): reuse box_mesh but flip by using walls
+    wallpts = [
+        [(0, 0, room), (room, 0, room), (room, 0, 0), (0, 0, 0)],          # floor +y
+        [(0, room, 0), (room, room, 0), (room, room, room), (0, room, room)],  # ceil -y
+        [(0, 0, 0), (room, 0, 0), (room, room, 0), (0, room, 0)],          # back +z
+        [(0, 0, 0), (0, room, 0), (0, room, room), (0, 0, room)],          # left +x
+        [(room, 0, 0), (room, 0, room), (room, room, room), (room, room, 0)],  # right -x
+    ]
+    for w in wallpts:
+        b.add_instance(InstanceHost(mesh=make_quad_mesh(w, white)))
+    for _ in range(n_boxes):
+        c = rng.uniform(1, room - 1, 3)
+        s = rng.uniform(0.2, 1.2, 3)
+        lo = c - s / 2
+        hi = c + s / 2
+        lo[1] = max(lo[1], 0.0)
+        b.add_instance(
+            InstanceHost(mesh=box_mesh(lo, hi, mats[rng.integers(len(mats))]))
+        )
+    for _ in range(n_lights):
+        c = rng.uniform(2, room - 2, 3)
+        c[1] = rng.uniform(room * 0.6, room - 0.2)
+        s = rng.uniform(0.3, 0.8)
+        col = rng.uniform(2.0, 30.0, 3)
+        lm = b.add_material(MaterialSpec(base_color=(0, 0, 0), emissive=tuple(col)))
+        b.add_instance(
+            InstanceHost(
+                mesh=make_quad_mesh(
+                    [
+                        (c[0] - s, c[1], c[2] - s),
+                        (c[0] + s, c[1], c[2] - s),
+                        (c[0] + s, c[1], c[2] + s),
+                        (c[0] - s, c[1], c[2] + s),
+                    ],
+                    lm,
+                )
+            )
+        )
+
+    def make_camera(aspect: float = 1.0) -> Camera:
+        return Camera.look_at(
+            eye=(room / 2, room * 0.45, room - 1.0),
+            target=(room / 2, room * 0.35, 0.0),
+            fov_y_deg=60.0,
+            aspect=aspect,
+        )
+
+    return b, make_camera
+
+
 def build(builder_and_cam, aspect: float = 1.0):
     b, cam_f = builder_and_cam
     return b.build(), cam_f(aspect)

@@ -30,6 +30,7 @@ def main() -> int:
     depth = int(os.environ.get("BENCH_DEPTH", 5))
     frames = int(os.environ.get("BENCH_FRAMES", 8))
     boxes = int(os.environ.get("BENCH_BOXES", 600))
+    accel = os.environ.get("BENCH_ACCEL", "stream")
 
     from lumenrenderer_tpu.integrator.wavefront import RenderConfig
     from lumenrenderer_tpu.render.renderer import Renderer
@@ -40,7 +41,7 @@ def main() -> int:
     cfg = RenderConfig(
         width=w, height=h, max_depth=depth, bsdf="disney", light_strategy="mis"
     )
-    r = Renderer(sc, cfg, accel="bvh", leaf_size=4)
+    r = Renderer(sc, cfg, accel=accel)
     st = r.init_state(0)
 
     # warmup / compile
@@ -54,7 +55,7 @@ def main() -> int:
     rays_per_s = w * h / dt  # primary paths (1spp) per second
     baseline_ms = 1000.0 / 30.0
     result = {
-        "metric": f"ms/frame {w}x{h}@1spp depth{depth} ({sc.num_triangles} tris, disney+MIS)",
+        "metric": f"ms/frame {w}x{h}@1spp depth{depth} ({sc.num_triangles} tris, disney+MIS, {accel})",
         "value": round(ms, 2),
         "unit": "ms",
         "vs_baseline": round(baseline_ms / ms, 3),

@@ -1,0 +1,291 @@
+"""Pair-stream intersector: MXU-batched ray/triangle intersection.
+
+THE TPU-native replacement for OptiX RT-core traversal — designed for the
+hardware rather than translated from it (reference: `optixLaunch`,
+`OptixWrapper.cpp:543-567`). Per-ray stack traversal is gather-bound and
+lockstep-divergent on TPU (measured ~0.17 Mrays/s); this module restructures
+intersection as dense, sorted, compacted stream work:
+
+1. Triangles are partitioned into CLUSTERS of K by a binned-SAH cut
+   (`accel/sah.py` with leaf_size=K).
+2. Möller–Trumbore is *lifted to a bilinear form*: with ray features
+   f = [o×d, d, o, 1] (10) and per-triangle coefficient columns
+   [det|u|v|t], all four MT quantities for a (rays × tris) block are ONE
+   f32 matmul (R,10)@(10,4K) — systolic-array work instead of VPU scalar
+   chains. Cluster-local coordinates keep magnitudes small for f32.
+3. Ray×cluster candidate pairs come from a dense AABB test, are extracted
+   C-major (cluster-sorted for free) via size-bounded compaction, padded so
+   every 256-pair tile touches exactly ONE cluster, then intersected with a
+   batched einsum; closest hits reduce back per-ray with scatter-min.
+   This is the north star's "stream compaction via sort/scan instead of
+   persistent-kernel queues" made concrete.
+
+Static shape caps (`max_pairs_per_ray`) bound compaction; overflow is
+reported (never silently wrong unless the cap is exceeded, in which case
+`overflow` is True and callers should rebuild with a larger cap).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PAIR_TILE = 256
+
+
+@flax.struct.dataclass
+class ClusterSet:
+    """Device cluster table for the pair-stream intersector."""
+
+    aabb_lo: jnp.ndarray    # (C,3)
+    aabb_hi: jnp.ndarray    # (C,3)
+    centroid: jnp.ndarray   # (C,3) local-frame origin per cluster
+    tri_feat: jnp.ndarray   # (C,10,4K) MT coefficient columns [det,u,v,t]*K
+    tri_id: jnp.ndarray     # (C,K) original tri ids (-1 pad)
+    tris_per_cluster: int = flax.struct.field(pytree_node=False)
+
+    @property
+    def num_clusters(self) -> int:
+        return self.aabb_lo.shape[0]
+
+
+def build_clusters(tri_pos, cluster_size: int = 64) -> ClusterSet:
+    """Partition triangles into SAH clusters and precompute MT features."""
+    from .sah import build_sah_arrays
+
+    tp = np.asarray(tri_pos, np.float64)
+    _, _, child0, _, order, _ = build_sah_arrays(
+        tp.astype(np.float32), leaf_size=cluster_size
+    )
+    k = cluster_size
+    c = order.shape[0] // k
+    tri_id = order.reshape(c, k)
+
+    # per-cluster AABB + centroid from member triangles
+    lo = np.full((c, 3), np.inf)
+    hi = np.full((c, 3), -np.inf)
+    feat = np.zeros((c, 10, 4 * k), np.float64)
+    for ci in range(c):
+        ids = tri_id[ci]
+        valid = ids >= 0
+        if valid.any():
+            pts = tp[ids[valid]].reshape(-1, 3)
+            lo[ci] = pts.min(0)
+            hi[ci] = pts.max(0)
+    cent = np.where(np.isfinite(lo), 0.5 * (lo + hi), 0.0)
+
+    for ci in range(c):
+        ids = tri_id[ci]
+        for kk in range(k):
+            ti = ids[kk]
+            if ti < 0:
+                continue
+            p0 = tp[ti, 0] - cent[ci]
+            e1 = tp[ti, 1] - tp[ti, 0]
+            e2 = tp[ti, 2] - tp[ti, 0]
+            n = np.cross(e1, e2)
+            col = 4 * kk
+            # det = -d·n  (= MT determinant e1·(d×e2))
+            feat[ci, 3:6, col + 0] = -n
+            # u_num = m·e2 + d·(p0×e2)
+            feat[ci, 0:3, col + 1] = e2
+            feat[ci, 3:6, col + 1] = np.cross(p0, e2)
+            # v_num = -m·e1 - d·(p0×e1)
+            feat[ci, 0:3, col + 2] = -e1
+            feat[ci, 3:6, col + 2] = -np.cross(p0, e1)
+            # t_num = o·n - p0·n
+            feat[ci, 6:9, col + 3] = n
+            feat[ci, 9, col + 3] = -np.dot(p0, n)
+
+    return ClusterSet(
+        aabb_lo=jnp.asarray(np.where(np.isfinite(lo), lo, 1e30), jnp.float32),
+        aabb_hi=jnp.asarray(np.where(np.isfinite(hi), hi, -1e30), jnp.float32),
+        centroid=jnp.asarray(cent, jnp.float32),
+        tri_feat=jnp.asarray(feat, jnp.float32),
+        tri_id=jnp.asarray(tri_id.astype(np.int32)),
+        tris_per_cluster=k,
+    )
+
+
+def _ray_cluster_mask(cs: ClusterSet, o, d, t_min, t_max):
+    """Dense (R,C) slab test."""
+    inv = 1.0 / jnp.where(jnp.abs(d) > 1e-20, d, jnp.where(d >= 0, 1e-20, -1e-20))
+    t0 = (cs.aabb_lo[None, :, :] - o[:, None, :]) * inv[:, None, :]
+    t1 = (cs.aabb_hi[None, :, :] - o[:, None, :]) * inv[:, None, :]
+    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    return (tn <= tf) & (tf >= t_min[:, None]) & (tn <= t_max[:, None])
+
+
+def _extract_pairs(mask_rc, max_pairs: int):
+    """C-major compaction of the (R,C) mask into cluster-sorted pair lists.
+
+    Returns (pair_ray (P,), pair_cluster (P,), overflow ()bool), -1-filled.
+    """
+    r, c = mask_rc.shape
+    flat = mask_rc.T.reshape(-1)  # C-major → sorted by cluster
+    (idx,) = jnp.nonzero(flat, size=max_pairs, fill_value=-1)
+    pair_cluster = jnp.where(idx >= 0, idx // r, -1).astype(jnp.int32)
+    pair_ray = jnp.where(idx >= 0, idx % r, -1).astype(jnp.int32)
+    overflow = jnp.sum(flat) > max_pairs
+    return pair_ray, pair_cluster, overflow
+
+
+def _pad_runs_to_tiles(pair_ray, pair_cluster, num_clusters: int, out_size: int):
+    """Scatter pairs so each cluster's run starts on a PAIR_TILE boundary.
+
+    Returns (padded_ray (S,), tile_cluster (S/T,)) with -1 fills.
+    """
+    p = pair_ray.shape[0]
+    valid = pair_ray >= 0
+    pc = jnp.where(valid, pair_cluster, num_clusters)  # park invalid at end
+    counts = jnp.bincount(pc, length=num_clusters + 1)[:num_clusters]
+    starts = jnp.concatenate([jnp.zeros(1, counts.dtype), jnp.cumsum(counts)])[:-1]
+    padded_counts = ((counts + PAIR_TILE - 1) // PAIR_TILE) * PAIR_TILE
+    offsets = jnp.concatenate(
+        [jnp.zeros(1, counts.dtype), jnp.cumsum(padded_counts)]
+    )[:-1]
+    rank = jnp.arange(p) - starts[jnp.clip(pc, 0, num_clusters - 1)]
+    dest = jnp.where(valid, offsets[jnp.clip(pc, 0, num_clusters - 1)] + rank, out_size)
+    padded_ray = jnp.full((out_size + 1,), -1, jnp.int32).at[dest].set(
+        jnp.where(valid, pair_ray, -1)
+    )[:out_size]
+    padded_cluster = jnp.full((out_size + 1,), -1, jnp.int32).at[dest].set(
+        jnp.where(valid, pair_cluster, -1)
+    )[:out_size]
+    tiles = out_size // PAIR_TILE
+    tile_cluster = jnp.max(padded_cluster.reshape(tiles, PAIR_TILE), axis=1)
+    return padded_ray, tile_cluster
+
+
+def _intersect_tiles(cs: ClusterSet, o, d, t_min, t_max, padded_ray, tile_cluster):
+    """Batched MT over pair tiles. Returns per-pair (t, u, v, tri, hit) flat."""
+    k = cs.tris_per_cluster
+    tiles = tile_cluster.shape[0]
+    pr = padded_ray.reshape(tiles, PAIR_TILE)
+    prc = jnp.maximum(pr, 0)
+    tc = jnp.maximum(tile_cluster, 0)
+
+    cent = cs.centroid[tc]                      # (T,3)
+    o_t = o[prc] - cent[:, None, :]             # (T,P,3) cluster-local
+    d_t = d[prc]                                # (T,P,3)
+    m = jnp.cross(o_t, d_t)
+    ones = jnp.ones(o_t.shape[:-1] + (1,), o_t.dtype)
+    f = jnp.concatenate([m, d_t, o_t, ones], axis=-1)  # (T,P,10)
+
+    feats = cs.tri_feat[tc]                     # (T,10,4K)
+    res = jnp.einsum(
+        "tpf,tfk->tpk", f, feats, preferred_element_type=jnp.float32
+    )                                           # (T,P,4K)
+    res = res.reshape(tiles, PAIR_TILE, k, 4)
+    det = res[..., 0]
+    ok = jnp.abs(det) > 1e-12
+    inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    u = res[..., 1] * inv
+    v = res[..., 2] * inv
+    t = res[..., 3] * inv
+
+    tid = cs.tri_id[tc]                         # (T,K)
+    tmin_p = t_min[prc][..., None]
+    tmax_p = t_max[prc][..., None]
+    hit = (
+        ok
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > tmin_p)
+        & (t <= tmax_p)
+        & (tid[:, None, :] >= 0)
+        & (pr >= 0)[..., None]
+    )
+    t = jnp.where(hit, t, jnp.inf)
+    return pr, t, u, v, jnp.broadcast_to(tid[:, None, :], t.shape), hit
+
+
+@partial(jax.jit, static_argnames=("max_pairs_per_ray",))
+def intersect_closest(cs: ClusterSet, origins, dirs, t_min, t_max,
+                      max_pairs_per_ray: int = 24):
+    """Closest-hit query; contract matches `accel.brute.intersect_closest`,
+    plus an 'overflow' bool in the result dict."""
+    r = origins.shape[0]
+    t_min_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
+    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
+    c = cs.num_clusters
+    max_pairs = ((r * max_pairs_per_ray) // PAIR_TILE + 1) * PAIR_TILE
+
+    mask = _ray_cluster_mask(cs, origins, dirs, t_min_b, t_max_b)
+    pair_ray, pair_cluster, overflow = _extract_pairs(mask, max_pairs)
+    out_size = max_pairs + c * PAIR_TILE
+    padded_ray, tile_cluster = _pad_runs_to_tiles(pair_ray, pair_cluster, c, out_size)
+    pr, t, u, v, tid, hit = _intersect_tiles(
+        cs, origins, dirs, t_min_b, t_max_b, padded_ray, tile_cluster
+    )
+
+    # per-pair best over K, then scatter-min per ray
+    kbest = jnp.argmin(t, axis=-1)
+    take = lambda a: jnp.take_along_axis(a, kbest[..., None], axis=-1)[..., 0]
+    t_p = take(t).reshape(-1)
+    u_p = take(u).reshape(-1)
+    v_p = take(v).reshape(-1)
+    id_p = take(tid).reshape(-1)
+    ray_p = jnp.where(pr.reshape(-1) >= 0, pr.reshape(-1), r)
+
+    best_t = jnp.full((r + 1,), jnp.inf, jnp.float32).at[ray_p].min(t_p)
+    # winner resolution: smallest flat pair index among pairs matching best_t
+    is_win = (t_p <= best_t[ray_p]) & jnp.isfinite(t_p)
+    pidx = jnp.arange(t_p.shape[0], dtype=jnp.int32)
+    win_idx = (
+        jnp.full((r + 1,), jnp.iinfo(jnp.int32).max, jnp.int32)
+        .at[jnp.where(is_win, ray_p, r)]
+        .min(pidx)
+    )[:r]
+    found = win_idx < jnp.iinfo(jnp.int32).max
+    wi = jnp.where(found, win_idx, 0)
+    return {
+        "t": jnp.where(found, t_p[wi], jnp.inf),
+        "tri": jnp.where(found, id_p[wi], -1),
+        "u": jnp.where(found, u_p[wi], 0.0),
+        "v": jnp.where(found, v_p[wi], 0.0),
+        "overflow": overflow,
+    }
+
+
+@partial(jax.jit, static_argnames=("max_pairs_per_ray",))
+def intersect_any(cs: ClusterSet, origins, dirs, t_min, t_max,
+                  max_pairs_per_ray: int = 24):
+    """Occlusion query: True where any triangle blocks [t_min, t_max]."""
+    r = origins.shape[0]
+    t_min_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
+    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
+    c = cs.num_clusters
+    max_pairs = ((r * max_pairs_per_ray) // PAIR_TILE + 1) * PAIR_TILE
+
+    mask = _ray_cluster_mask(cs, origins, dirs, t_min_b, t_max_b)
+    pair_ray, pair_cluster, _ = _extract_pairs(mask, max_pairs)
+    out_size = max_pairs + c * PAIR_TILE
+    padded_ray, tile_cluster = _pad_runs_to_tiles(pair_ray, pair_cluster, c, out_size)
+    pr, t, u, v, tid, hit = _intersect_tiles(
+        cs, origins, dirs, t_min_b, t_max_b, padded_ray, tile_cluster
+    )
+    any_hit = jnp.any(hit, axis=-1).reshape(-1)
+    ray_p = jnp.where(pr.reshape(-1) >= 0, pr.reshape(-1), r)
+    occ = jnp.zeros((r + 1,), bool).at[ray_p].max(any_hit)
+    return occ[:r]
+
+
+def stream_intersectors(cs: ClusterSet, max_pairs_per_ray: int = 24) -> Tuple:
+    """Bind a ClusterSet into (intersect_fn, occlude_fn) for the wavefront
+    loop (drops the overflow flag; query it separately when validating)."""
+
+    def isect(o, d, tn, tx):
+        res = intersect_closest(cs, o, d, tn, tx, max_pairs_per_ray=max_pairs_per_ray)
+        return {k: res[k] for k in ("t", "tri", "u", "v")}
+
+    def occl(o, d, tn, tx):
+        return intersect_any(cs, o, d, tn, tx, max_pairs_per_ray=max_pairs_per_ray)
+
+    return isect, occl

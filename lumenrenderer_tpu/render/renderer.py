@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..accel import brute, lbvh, sah, traverse
+from ..accel import brute, lbvh, sah, stream, traverse
 from ..core.camera import Camera
 from ..integrator import wavefront
 from ..scene.scene import SceneData
@@ -33,8 +33,11 @@ class Renderer:
         self,
         scene: SceneData,
         config: wavefront.RenderConfig,
-        accel: str = "bvh",
+        accel: str = "stream",
         leaf_size: int = 4,
+        cluster_size: int = 64,
+        max_pairs_per_ray: int = 24,
+        restir_config=None,
         restir_fn: Optional[Callable] = None,
         donate: bool = True,
     ):
@@ -42,7 +45,17 @@ class Renderer:
         self.config = config
         self.accel_kind = accel
         self.frame_stats: Dict[str, float] = {}
-        if accel in ("bvh", "sah"):
+        if accel == "stream":
+            # pair-stream MXU intersector (default): SAH clusters + batched
+            # Moller-Trumbore matmuls; the TPU-fast path
+            self.bvh = None
+            self.clusters = stream.build_clusters(
+                scene.tri_pos, cluster_size=cluster_size
+            )
+            isect, occl = stream.stream_intersectors(
+                self.clusters, max_pairs_per_ray=max_pairs_per_ray
+            )
+        elif accel in ("bvh", "sah"):
             # static scene: host binned-SAH build, best traversal quality
             self.bvh = sah.build_sah(scene.tri_pos, leaf_size=leaf_size)
             isect, occl = traverse.bvh_intersectors(self.bvh)
@@ -61,6 +74,19 @@ class Renderer:
             raise ValueError(f"unknown accel {accel!r}")
         self._isect = isect
         self._occl = occl
+        if restir_fn is None and config.use_restir:
+            from ..integrator import wavefront as wf
+            from ..restir.di import RestirConfig, RestirDI
+
+            restir_fn = RestirDI(
+                occl,
+                lambda sd, wo, wi: wf._bsdf_eval(
+                    config, sd, scene.materials, wo, wi
+                ),
+                restir_config or RestirConfig(),
+                config.width,
+                config.height,
+            )
         self._restir_fn = restir_fn
 
         cfg = config

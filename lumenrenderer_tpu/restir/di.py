@@ -1,0 +1,444 @@
+"""ReSTIR direct illumination — reservoir spatiotemporal resampling.
+
+TPU-native re-architecture of the reference's ReSTIR stack:
+host orchestrator `ReSTIR::Run` (`Framework/ReSTIR.cpp:65-233`) and kernels
+(`CUDAKernels/ReSTIRKernels.cu`): CDF build (:49-130), light-bag fill
+(:327-370), per-pixel RIS of 32 candidates (:372-522), visibility
+(:524-582), reservoir shading (:584-665), temporal reuse with motion-vector
+reprojection and 20x M-clamp (:983-1121), spatial reuse 2 iterations x 5
+neighbours in 30px with depth/normal similarity gates (:745-980), biased
+combine (:1123-1257).
+
+TPU-first differences:
+- thrust sort + inclusive_scan CDF → `jnp.cumsum` + `searchsorted` (the
+  reference's own algorithm, minus the radiance sort which only existed to
+  help its binary search).
+- The per-SM light-bag cache trick (`__mysmid`, ReSTIRKernels.cu:425-433)
+  has no TPU analogue (no SM-local shared memory at the XLA level); bags are
+  kept (they bound gather fan-out into the big light table and decorrelate
+  candidates exactly like the reference) and assigned per PIXEL TILE so a
+  tile's candidate gathers hit one small bag — the TPU locality equivalent.
+- All reservoir state is a pytree (checkpointable; SURVEY §5.4) and every
+  pass is a dense masked array op — no atomics, no ping-pong buffer pairs
+  (functional updates replace `SwapBuffers`, ReSTIR.cpp:264-274).
+- Everything is differentiable w.r.t. light radiance: W-weights are
+  stop-gradient (sampling machinery) while the shaded contribution stays
+  attached — ReSTIR gradients flow to emission parameters.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from ..core import vecmath as vm
+from ..scene.scene import SceneData
+
+SHADOW_EPS = 1e-3
+
+
+@dataclasses.dataclass(frozen=True)
+class RestirConfig:
+    """Mirror of `ReSTIRSettings` (`Shaders/CppCommon/ReSTIRData.h:25-66`)."""
+
+    candidates: int = 32          # primary samples per reservoir
+    num_bags: int = 50
+    bag_size: int = 1000
+    spatial_samples: int = 5
+    spatial_radius: int = 30
+    spatial_iterations: int = 2
+    temporal_clamp: int = 20      # max M multiple kept from history
+    biased: bool = True           # reference default (ReSTIRKernels.cu:1108)
+    bag_tile: int = 16            # pixel tile sharing one light bag
+    depth_gate: float = 0.1       # relative depth similarity (reuse gates)
+    normal_gate: float = 0.906    # cos(25 deg), reuse normal gate
+
+
+@flax.struct.dataclass
+class Reservoir:
+    """Per-pixel reservoir (R=1), ≙ `Reservoir` struct (`ReSTIRData.h`)."""
+
+    light_idx: jnp.ndarray  # (N,) i32 chosen light row
+    bary: jnp.ndarray       # (N,2) sample point barycentric (u,v on light tri)
+    w_sum: jnp.ndarray      # (N,) sum of RIS weights
+    m: jnp.ndarray          # (N,) f32 candidate count
+    w_out: jnp.ndarray      # (N,) unbiased contribution weight W
+    p_hat: jnp.ndarray      # (N,) target pdf of the chosen sample
+
+
+@flax.struct.dataclass
+class RestirState:
+    """Temporal history: previous reservoirs + gbuffer for similarity gates."""
+
+    reservoir: Reservoir
+    prev_depth: jnp.ndarray   # (N,)
+    prev_normal: jnp.ndarray  # (N,3)
+    valid: jnp.ndarray        # () bool history valid (False on first frame)
+
+
+def empty_reservoir(n: int) -> Reservoir:
+    # NOTE: four distinct zero arrays — sharing one buffer breaks jit
+    # donation ("attempt to donate the same buffer twice")
+    return Reservoir(
+        light_idx=jnp.zeros((n,), jnp.int32),
+        bary=jnp.zeros((n, 2), jnp.float32),
+        w_sum=jnp.zeros((n,), jnp.float32),
+        m=jnp.zeros((n,), jnp.float32),
+        w_out=jnp.zeros((n,), jnp.float32),
+        p_hat=jnp.zeros((n,), jnp.float32),
+    )
+
+
+def init_state(n: int) -> RestirState:
+    return RestirState(
+        reservoir=empty_reservoir(n),
+        prev_depth=jnp.zeros((n,), jnp.float32),
+        prev_normal=jnp.zeros((n, 3), jnp.float32),
+        valid=jnp.asarray(False),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDF + light bags
+# ---------------------------------------------------------------------------
+
+def build_light_cdf(scene: SceneData) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Power-weighted CDF over lights. ≙ BuildCDF (`ReSTIR.cpp:235-262`):
+    weights = luminance * area; cumsum replaces thrust::inclusive_scan."""
+    lights = scene.lights
+    idx = jnp.arange(lights.capacity)
+    rad = scene.light_radiance(idx)
+    w = vm.luminance(rad) * lights.area
+    w = jnp.where(idx < lights.count, jnp.maximum(w, 0.0), 0.0)
+    total = jnp.sum(w)
+    # degenerate all-zero: uniform over valid lights
+    w = jnp.where(total > 0, w, (idx < lights.count).astype(jnp.float32))
+    cdf = jnp.cumsum(w)
+    total = cdf[-1]
+    pdf = w / jnp.maximum(total, 1e-20)
+    return cdf / jnp.maximum(total, 1e-20), pdf
+
+
+def sample_cdf(cdf: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    return jnp.clip(
+        jnp.searchsorted(cdf, u, side="right"), 0, cdf.shape[0] - 1
+    ).astype(jnp.int32)
+
+
+def fill_light_bags(cdf: jnp.ndarray, cfg: RestirConfig, key) -> jnp.ndarray:
+    """(num_bags, bag_size) light rows sampled from the CDF.
+    ≙ FillLightBags (`ReSTIRKernels.cu:327-370`)."""
+    u = jax.random.uniform(key, (cfg.num_bags, cfg.bag_size))
+    return sample_cdf(cdf, u)
+
+
+# ---------------------------------------------------------------------------
+# target pdf
+# ---------------------------------------------------------------------------
+
+def _target_phat(scene, sd, light_idx, bary, detach_radiance=True):
+    """Unshadowed target p-hat in AREA measure at the pixel's surface:
+    luminance(albedo/pi * L * cos_s * cos_l / d^2). ≙ the `Resample`
+    re-evaluation (`ReSTIRKernels.cu:1259-1325`), with a Lambertian f
+    approximation for the resampling target (full BSDF still shades)."""
+    lights = scene.lights
+    li = jnp.maximum(light_idx, 0)
+    p = (
+        lights.p0[li]
+        + bary[..., 0:1] * lights.e1[li]
+        + bary[..., 1:2] * lights.e2[li]
+    )
+    rad = scene.light_radiance(li)
+    if detach_radiance:
+        rad = jax.lax.stop_gradient(rad)
+    to_l = p - sd.position[..., None, :] if p.ndim == 3 else p - sd.position
+    dist = jnp.maximum(vm.length(to_l), 1e-5)
+    wi = to_l / dist[..., None]
+    if p.ndim == 3:
+        cos_s = jnp.maximum(vm.dot(sd.normal[..., None, :], wi), 0.0)
+    else:
+        cos_s = jnp.maximum(vm.dot(sd.normal, wi), 0.0)
+    cos_l = jnp.maximum(vm.dot(lights.normal[li], -wi), 0.0)
+    albedo_lum = vm.luminance(sd.base_color) / jnp.pi
+    if p.ndim == 3:
+        albedo_lum = albedo_lum[..., None]
+    g = cos_s * cos_l / (dist * dist)
+    return albedo_lum * vm.luminance(rad) * g, wi, dist
+
+
+# ---------------------------------------------------------------------------
+# passes
+# ---------------------------------------------------------------------------
+
+def ris_primary(scene, sd, bags, bag_pdf, cfg: RestirConfig, width, key):
+    """Per-pixel RIS of `candidates` bag samples.
+    ≙ PickPrimarySamples (`ReSTIRKernels.cu:372-522`)."""
+    n = sd.position.shape[0]
+    c = cfg.candidates
+    # tile-coherent bag assignment
+    px = jnp.arange(n, dtype=jnp.int32) % width
+    py = jnp.arange(n, dtype=jnp.int32) // width
+    tile = (py // cfg.bag_tile) * 1024 + (px // cfg.bag_tile)
+    kb, kc, kp, kr = jax.random.split(key, 4)
+    # all pixels in a tile share a bag (coherent gathers — the TPU analogue
+    # of the reference's per-SM bag cache)
+    bag_of_tile = jax.random.randint(kb, (1 << 16,), 0, cfg.num_bags)
+    bag_idx = bag_of_tile[tile % bag_of_tile.shape[0]]
+
+    slot = jax.random.randint(kc, (n, c), 0, cfg.bag_size)
+    cand_light = bags[bag_idx[:, None], slot]            # (N,C)
+    cand_pdf_sel = bag_pdf[cand_light]                   # (N,C) CDF pdf
+    cand_bary_sqrt = jax.random.uniform(kp, (n, c, 2))
+    # uniform triangle warp
+    su = jnp.sqrt(cand_bary_sqrt[..., 0])
+    b1 = 1.0 - su
+    b2 = cand_bary_sqrt[..., 1] * su
+    bary = jnp.stack([b1, b2], axis=-1)                  # (N,C,2) e1/e2 coords
+
+    area = scene.lights.area[cand_light]
+    p_cand = cand_pdf_sel / jnp.maximum(area, 1e-12)     # area-measure pdf
+    phat, _, _ = _target_phat(scene, sd, cand_light, bary)
+    w = jnp.where(p_cand > 0, phat / jnp.maximum(p_cand, 1e-20), 0.0)  # (N,C)
+
+    # streaming reservoir update, vectorized over pixels via cumulative trick:
+    # choose candidate j with prob w_j / sum_{k<=j} w_k sequentially ==
+    # categorical with prob w_j / w_sum — use Gumbel-free direct sampling.
+    w_sum = jnp.sum(w, axis=1)
+    u = jax.random.uniform(kr, (n, 1))
+    cum = jnp.cumsum(w, axis=1)
+    pick = jnp.sum((cum < u * w_sum[:, None]).astype(jnp.int32), axis=1)
+    pick = jnp.clip(pick, 0, c - 1)
+    take = lambda a: jnp.take_along_axis(a, pick[:, None], axis=1)[:, 0]
+    chosen_light = take(cand_light)
+    chosen_bary = jnp.take_along_axis(
+        bary, pick[:, None, None].repeat(2, -1), axis=1
+    )[:, 0]
+    chosen_phat = take(phat)
+    w_out = jnp.where(
+        chosen_phat > 0, w_sum / (c * jnp.maximum(chosen_phat, 1e-20)), 0.0
+    )
+    return Reservoir(
+        light_idx=chosen_light,
+        bary=chosen_bary,
+        w_sum=w_sum,
+        m=jnp.full((n,), float(c), jnp.float32),
+        w_out=w_out,
+        p_hat=chosen_phat,
+    )
+
+
+def visibility_pass(scene, sd, res: Reservoir, occlude_fn, hit_mask):
+    """Zero reservoirs whose chosen sample is occluded.
+    ≙ VisibilityCheck + RESTIR_RAY raygen (`ReSTIR.cpp:291-317`,
+    `WaveFrontShaders.cu:181-216`)."""
+    phat, wi, dist = _target_phat(scene, sd, res.light_idx, res.bary)
+    o = sd.position + sd.geo_normal * SHADOW_EPS
+    occluded = occlude_fn(
+        o, wi, jnp.asarray(SHADOW_EPS, jnp.float32), dist - 2 * SHADOW_EPS
+    )
+    kill = occluded | ~hit_mask
+    return res.replace(
+        w_out=jnp.where(kill, 0.0, res.w_out),
+        w_sum=jnp.where(kill, 0.0, res.w_sum),
+    )
+
+
+def _combine(res_a: Reservoir, res_b: Reservoir, phat_b_here, key):
+    """Biased combine of B into A at A's pixel (target pdfs re-evaluated at
+    A's surface). ≙ CombineBiased (`ReSTIRKernels.cu:1123-1257`)."""
+    w_a = res_a.p_hat * res_a.w_out * res_a.m
+    w_b = phat_b_here * res_b.w_out * res_b.m
+    w_sum = w_a + w_b
+    u = jax.random.uniform(key, w_sum.shape)
+    pick_b = u * jnp.maximum(w_sum, 1e-20) > w_a
+    light = jnp.where(pick_b, res_b.light_idx, res_a.light_idx)
+    bary = jnp.where(pick_b[:, None], res_b.bary, res_a.bary)
+    phat = jnp.where(pick_b, phat_b_here, res_a.p_hat)
+    m = res_a.m + res_b.m
+    w_out = jnp.where(
+        phat > 0, w_sum / (jnp.maximum(m, 1e-6) * jnp.maximum(phat, 1e-20)), 0.0
+    )
+    return Reservoir(
+        light_idx=light, bary=bary, w_sum=w_sum, m=m, w_out=w_out, p_hat=phat
+    )
+
+
+def temporal_pass(scene, sd, res, state: RestirState, motion, cfg, width, height, key):
+    """Motion-vector reprojected history combine with M clamp + similarity
+    gates. ≙ TemporalNeighbourSampling (`ReSTIRKernels.cu:983-1121`)."""
+    n = res.m.shape[0]
+    px = (jnp.arange(n) % width).astype(jnp.float32)
+    py = (jnp.arange(n) // width).astype(jnp.float32)
+    prev_x = jnp.round(px + motion[:, 0]).astype(jnp.int32)
+    prev_y = jnp.round(py + motion[:, 1]).astype(jnp.int32)
+    inside = (
+        (prev_x >= 0) & (prev_x < width) & (prev_y >= 0) & (prev_y < height)
+    )
+    prev_i = jnp.clip(prev_y * width + prev_x, 0, n - 1)
+
+    hist = state.reservoir
+    h = jax.tree_util.tree_map(lambda a: a[prev_i], hist)
+    # similarity gates
+    d_ok = jnp.abs(state.prev_depth[prev_i] - sd_depth(sd)) <= (
+        cfg.depth_gate * jnp.maximum(sd_depth(sd), 1e-3)
+    )
+    n_ok = vm.dot(state.prev_normal[prev_i], sd.normal) >= cfg.normal_gate
+    ok = inside & d_ok & n_ok & state.valid
+    # clamp history M (20x)
+    m_cap = cfg.temporal_clamp * jnp.maximum(res.m, 1.0)
+    scale = jnp.minimum(1.0, m_cap / jnp.maximum(h.m, 1e-6))
+    h = h.replace(m=h.m * scale, w_sum=h.w_sum * scale)
+    h = jax.tree_util.tree_map(
+        lambda a: jnp.where(
+            ok.reshape(ok.shape + (1,) * (a.ndim - 1)), a, jnp.zeros_like(a)
+        ),
+        h,
+    )
+    phat_here, _, _ = _target_phat(scene, sd, h.light_idx, h.bary)
+    phat_here = jnp.where(ok, phat_here, 0.0)
+    return _combine(res, h, phat_here, key)
+
+
+def sd_depth(sd):
+    return vm.length(sd.position)  # radial depth proxy for similarity
+
+
+def spatial_pass(scene, sd, res, hit_mask, cfg, width, height, key):
+    """`spatial_iterations` rounds of `spatial_samples` random neighbours in
+    `spatial_radius`, biased combine with similarity gates.
+    ≙ SpatialNeighbourSampling (`ReSTIRKernels.cu:745-980`) — the ping-pong
+    buffer pair becomes a functional fold."""
+    n = res.m.shape[0]
+    px = (jnp.arange(n) % width).astype(jnp.int32)
+    py = (jnp.arange(n) // width).astype(jnp.int32)
+    depth_here = sd_depth(sd)
+
+    for it in range(cfg.spatial_iterations):
+        kit = jax.random.fold_in(key, it)
+        src = res  # snapshot: neighbours come from the previous iteration's
+        # buffer, matching the reference's ping-pong pair (ReSTIR.cpp:264-274)
+        w_tot = src.p_hat * src.w_out * src.m
+        m_tot = src.m
+        best_w = w_tot
+        best = src
+        best_phat = src.p_hat
+        # categorical pick across self + neighbours via streaming update
+        pick_u = jax.random.uniform(jax.random.fold_in(kit, 999), (n,))
+        cum = w_tot
+        for s in range(cfg.spatial_samples):
+            ks = jax.random.fold_in(kit, s)
+            k1, k2, k3 = jax.random.split(ks, 3)
+            ang = jax.random.uniform(k1, (n,)) * 2 * jnp.pi
+            rad = jnp.sqrt(jax.random.uniform(k2, (n,))) * cfg.spatial_radius
+            nx = jnp.clip(px + (jnp.cos(ang) * rad).astype(jnp.int32), 0, width - 1)
+            ny = jnp.clip(py + (jnp.sin(ang) * rad).astype(jnp.int32), 0, height - 1)
+            ni = ny * width + nx
+            nb = jax.tree_util.tree_map(lambda a: a[ni], src)
+            d_ok = jnp.abs(depth_here[ni] - depth_here) <= (
+                cfg.depth_gate * jnp.maximum(depth_here, 1e-3)
+            )
+            n_ok = vm.dot(sd.normal[ni], sd.normal) >= cfg.normal_gate
+            ok = d_ok & n_ok & hit_mask & hit_mask[ni]
+            phat_here, _, _ = _target_phat(scene, sd, nb.light_idx, nb.bary)
+            phat_here = jnp.where(ok, phat_here, 0.0)
+            w_nb = jnp.where(ok, phat_here * nb.w_out * nb.m, 0.0)
+            m_nb = jnp.where(ok, nb.m, 0.0)
+            # streaming reservoir over neighbours
+            cum_new = cum + w_nb
+            u = jax.random.uniform(k3, (n,))
+            take_nb = (u * jnp.maximum(cum_new, 1e-20)) < w_nb
+            best = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(
+                    take_nb.reshape(take_nb.shape + (1,) * (a.ndim - 1)), b, a
+                ),
+                best,
+                nb,
+            )
+            best_phat = jnp.where(take_nb, phat_here, best_phat)
+            cum = cum_new
+            m_tot = m_tot + m_nb
+        w_out = jnp.where(
+            best_phat > 0,
+            cum / (jnp.maximum(m_tot, 1e-6) * jnp.maximum(best_phat, 1e-20)),
+            0.0,
+        )
+        res = Reservoir(
+            light_idx=best.light_idx,
+            bary=best.bary,
+            w_sum=cum,
+            m=m_tot,
+            w_out=w_out,
+            p_hat=best_phat,
+        )
+    return res
+
+
+def shade(scene, sd, wo, res: Reservoir, eval_f, hit_mask):
+    """Final reservoir shading into the DIRECT channel.
+    ≙ Shade (`ReSTIRKernels.cu:584-665`): contribution = f * L * G * W.
+    Radiance stays differentiable; W is sampling machinery (detached)."""
+    lights = scene.lights
+    li = jnp.maximum(res.light_idx, 0)
+    p = lights.p0[li] + res.bary[:, 0:1] * lights.e1[li] + res.bary[:, 1:2] * lights.e2[li]
+    to_l = p - sd.position
+    dist = jnp.maximum(vm.length(to_l), 1e-5)
+    wi = to_l / dist[:, None]
+    cos_s = jnp.maximum(vm.dot(sd.normal, wi), 0.0)
+    cos_l = jnp.maximum(vm.dot(lights.normal[li], -wi), 0.0)
+    g = cos_s * cos_l / (dist * dist)
+    rad = scene.light_radiance(li)
+    f_val, _ = eval_f(sd, wo, wi)
+    w = jax.lax.stop_gradient(res.w_out)
+    scale = jnp.where(hit_mask & (w > 0), jax.lax.stop_gradient(g) * w, 0.0)
+    return f_val * rad * scale[:, None]
+
+
+# ---------------------------------------------------------------------------
+# orchestrator
+# ---------------------------------------------------------------------------
+
+class RestirDI:
+    """Callable pipeline bound to (occlude_fn, eval_f, cfg, W, H).
+
+    Invoked from the wavefront loop at depth 0 (≙ `Shade`'s depth-0 branch,
+    `CPUShadingKernels.cu:128-148`)."""
+
+    def __init__(self, occlude_fn, eval_f, cfg: RestirConfig, width: int, height: int):
+        self.occlude_fn = occlude_fn
+        self.eval_f = eval_f
+        self.cfg = cfg
+        self.width = width
+        self.height = height
+
+    def init_state(self, n: int) -> RestirState:
+        return init_state(n)
+
+    def __call__(self, scene, sd, wo, hit_mask, motion, state: RestirState, key):
+        cfg = self.cfg
+        k_bag, k_ris, k_t, k_s = jax.random.split(key, 4)
+        cdf, pdf = build_light_cdf(scene)
+        bags = fill_light_bags(cdf, cfg, k_bag)
+        res = ris_primary(scene, sd, bags, pdf, cfg, self.width, k_ris)
+        res = visibility_pass(scene, sd, res, self.occlude_fn, hit_mask)
+        if state is not None:
+            res = temporal_pass(
+                scene, sd, res, state, motion, cfg, self.width, self.height, k_t
+            )
+        res = spatial_pass(
+            scene, sd, res, hit_mask, cfg, self.width, self.height, k_s
+        )
+        # final visibility on the post-reuse winner (biased mode shades
+        # without it in the reference; we match the reference default but
+        # keep it correct for newly-imported samples via one check)
+        res_final = visibility_pass(scene, sd, res, self.occlude_fn, hit_mask)
+        color = shade(scene, sd, wo, res_final, self.eval_f, hit_mask)
+        new_state = RestirState(
+            reservoir=res_final,
+            prev_depth=sd_depth(sd),
+            prev_normal=sd.normal,
+            valid=jnp.asarray(True),
+        )
+        return color, new_state

@@ -1,0 +1,83 @@
+"""Pair-stream intersector: equality vs brute-force oracle."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lumenrenderer_tpu.accel import brute, stream
+from lumenrenderer_tpu.core.camera import generate_primary_rays
+from lumenrenderer_tpu.scene import presets
+
+
+def random_tris(rng, n, spread=2.0):
+    c = rng.uniform(-spread, spread, size=(n, 1, 3))
+    d = rng.normal(size=(n, 3, 3)) * 0.15
+    return (c + d).astype(np.float32)
+
+
+def random_rays(rng, r, spread=3.0):
+    o = rng.uniform(-spread, spread, size=(r, 3)).astype(np.float32)
+    d = rng.normal(size=(r, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+@pytest.mark.parametrize("n_tris,k", [(30, 8), (200, 16), (500, 64)])
+def test_closest_matches_brute(rng, n_tris, k):
+    tris = jnp.asarray(random_tris(rng, n_tris))
+    cs = stream.build_clusters(tris, cluster_size=k)
+    o, d = random_rays(rng, 256)
+    res_s = stream.intersect_closest(cs, o, d, 1e-4, 1e9, max_pairs_per_ray=64)
+    res_b = brute.intersect_closest(tris, o, d, 1e-4, 1e9)
+    assert not bool(res_s["overflow"])
+    ib, ir = np.asarray(res_s["tri"]), np.asarray(res_b["tri"])
+    agree = (ib == ir).mean()
+    assert agree > 0.99, f"agree={agree}"
+    both = (ib >= 0) & (ib == ir)
+    np.testing.assert_allclose(
+        np.asarray(res_s["t"])[both], np.asarray(res_b["t"])[both], rtol=2e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_s["u"])[both], np.asarray(res_b["u"])[both], atol=2e-3
+    )
+
+
+def test_any_matches_brute(rng):
+    tris = jnp.asarray(random_tris(rng, 150))
+    cs = stream.build_clusters(tris, cluster_size=16)
+    o, d = random_rays(rng, 256)
+    occ_s = np.asarray(stream.intersect_any(cs, o, d, 1e-4, 4.0, max_pairs_per_ray=64))
+    occ_b = np.asarray(brute.intersect_any(tris, o, d, 1e-4, 4.0))
+    assert (occ_s == occ_b).mean() > 0.995
+
+
+def test_cornell_primary_hits():
+    scene, camf = presets.cornell_box()
+    sc, cam = scene.build(), camf(1.0)
+    cs = stream.build_clusters(sc.tri_pos, cluster_size=8)
+    o, d = generate_primary_rays(cam, 32, 32, jnp.uint32(0), jitter="center")
+    rs = stream.intersect_closest(cs, o, d, 1e-3, 1e9, max_pairs_per_ray=32)
+    rb = brute.intersect_closest(sc.tri_pos, o, d, 1e-3, 1e9)
+    assert (np.asarray(rs["tri"]) == np.asarray(rb["tri"])).mean() > 0.995
+
+
+def test_overflow_flag():
+    rng = np.random.default_rng(9)
+    tris = jnp.asarray(random_tris(rng, 400, spread=0.3))  # dense overlap
+    cs = stream.build_clusters(tris, cluster_size=8)
+    o, d = random_rays(rng, 128, spread=0.5)
+    res = stream.intersect_closest(cs, o, d, 1e-4, 1e9, max_pairs_per_ray=1)
+    assert bool(res["overflow"])  # cap of 1 cluster/ray must overflow
+
+
+def test_tmax_window(rng):
+    tris = jnp.asarray(random_tris(rng, 80))
+    cs = stream.build_clusters(tris, cluster_size=16)
+    o, d = random_rays(rng, 128)
+    full = stream.intersect_closest(cs, o, d, 1e-4, 1e9, max_pairs_per_ray=64)
+    t_full = np.asarray(full["t"])
+    hit = np.isfinite(t_full)
+    cap = jnp.asarray(np.where(hit, t_full * 0.5, 1e9).astype(np.float32))
+    capped = stream.intersect_closest(cs, o, d, 1e-4, cap, max_pairs_per_ray=64)
+    assert np.all(np.asarray(capped["t"])[hit] >= t_full[hit] * 0.5 - 1e-5) or np.all(
+        np.asarray(capped["tri"])[hit] == -1
+    )

@@ -64,6 +64,11 @@ class RenderConfig:
     # traversal/hit ids + differentiable shading). Costs nothing at
     # inference; keep True.
     detach_sampling: bool = True
+    # Volumetrics (M6, ≙ VolumetricShadeDirect): march steps per segment and
+    # how many path depths carry volume scattering (reference marches every
+    # wave; depth 1 = primary-only fog, cheaper)
+    volume_steps: int = 5
+    volume_depths: int = 2
 
     @property
     def num_pixels(self) -> int:
@@ -135,6 +140,7 @@ def render_wavefront(
     direct = jnp.zeros((n, 3), f32)
     indirect = jnp.zeros((n, 3), f32)
     specular_ch = jnp.zeros((n, 3), f32)
+    volumetric_ch = jnp.zeros((n, 3), f32)
     aovs: Dict[str, jnp.ndarray] = {}
     new_restir_state = restir_state
 
@@ -159,6 +165,26 @@ def render_wavefront(
             )
         hit_mask = sd.valid & alive
         wo = -ray_d
+
+        # ---- volumetric segment: in-scatter + transmittance ----
+        # (≙ the bounded volumetric trace inside IntersectionRaysRayGen,
+        # `WaveFrontShaders.cu:93-108`, + VolumetricShadeDirect)
+        if scene.volumes is not None and depth < cfg.volume_depths:
+            from ..volume import march as vmarch
+
+            vkey = jax.random.fold_in(dkey, 23)
+            seg_max = jnp.where(sd.valid, hits["t"], jnp.asarray(1e8, f32))
+            v_scatter, v_trans = vmarch.volume_scatter(
+                scene.volumes, scene, ray_o, ray_d, t_min, seg_max, vkey,
+                occlude_fn, steps=cfg.volume_steps,
+                detach_sampling=cfg.detach_sampling,
+            )
+            volumetric_ch = volumetric_ch + jnp.where(
+                alive[:, None], throughput * v_scatter, 0.0
+            )
+            throughput = throughput * jnp.where(
+                alive[:, None], v_trans[:, None], 1.0
+            )
 
         # ---- miss: environment contribution ----
         env_w = jnp.ones((n,), f32)
@@ -309,6 +335,7 @@ def render_wavefront(
         "direct": direct,
         "indirect": indirect,
         "specular": specular_ch,
+        "volumetric": volumetric_ch,
         **aovs,
         "restir_state": new_restir_state,
     }

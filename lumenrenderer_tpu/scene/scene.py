@@ -46,6 +46,7 @@ class SceneData:
     env_radiance: jnp.ndarray            # (3,) constant environment light
     # (absent in the reference — misses contribute nothing there; used here
     # for furnace tests and outdoor scenes, differentiable)
+    volumes: Optional[object] = None     # volume.grid.VolumeSet (M6), or None
 
     @property
     def num_triangles(self) -> int:
@@ -71,6 +72,13 @@ class SceneBuilder:
     texture_images: List[np.ndarray] = dataclasses.field(default_factory=list)
     light_capacity: Optional[int] = None
     env_radiance: tuple = (0.0, 0.0, 0.0)
+    volume_specs: list = dataclasses.field(default_factory=list)
+
+    def add_volume(self, density, aabb_lo, aabb_hi, sigma_t=1.0, albedo=0.9) -> int:
+        """Add a dense density-grid volume (≙ `CreateVolume`/`PTVolume`,
+        `Framework/WaveFrontRenderer.cpp:388-433`). density: (X,Y,Z) array."""
+        self.volume_specs.append((density, aabb_lo, aabb_hi, sigma_t, albedo))
+        return len(self.volume_specs) - 1
 
     def add_material(self, spec: MaterialSpec) -> int:
         self.materials.append(spec)
@@ -96,6 +104,17 @@ class SceneBuilder:
             geom, emissive_np, capacity=self.light_capacity
         )
         atlas = build_texture_atlas(self.texture_images)
+        volumes = None
+        if self.volume_specs:
+            from ..volume.grid import make_volume_set
+
+            volumes = make_volume_set(
+                [np.asarray(s[0], np.float32) for s in self.volume_specs],
+                [s[1] for s in self.volume_specs],
+                [s[2] for s in self.volume_specs],
+                sigma_t=[s[3] for s in self.volume_specs],
+                albedo=[s[4] for s in self.volume_specs],
+            )
         return SceneData(
             tri_pos=jnp.asarray(geom.tri_pos),
             tri_normal=jnp.asarray(geom.tri_normal),
@@ -109,4 +128,5 @@ class SceneBuilder:
             inst_emission_mode=jnp.asarray(geom.inst_emission_mode),
             inst_emission_override=jnp.asarray(geom.inst_emission_override),
             env_radiance=jnp.asarray(self.env_radiance, jnp.float32),
+            volumes=volumes,
         )

@@ -1,0 +1,285 @@
+"""glTF 2.0 scene loader.
+
+TPU-native equivalent of the reference's `SceneManager::LoadGLTF`
+(`Lumen/src/Lumen/ModelLoading/SceneManager.cpp:42-130`, materials
+`:305-425`, meshes with index/tangent generation `:277-440`, node hierarchy
+`:207-275`) built on fx-gltf — here a dependency-free numpy implementation
+(json + struct) supporting .gltf and .glb, embedded/external/data-URI
+buffers and images, pbrMetallicRoughness materials, and full node TRS
+hierarchies. Produces the host `SceneBuilder`, so everything downstream
+(SoA flatten, light extraction, atlas) is shared.
+"""
+from __future__ import annotations
+
+import base64
+import io
+import json
+import os
+import struct
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .geometry import EmissionMode, InstanceHost, MeshHost
+from .materials import MaterialSpec
+from .scene import SceneBuilder
+
+_COMPONENT_DTYPES = {
+    5120: np.int8,
+    5121: np.uint8,
+    5122: np.int16,
+    5123: np.uint16,
+    5125: np.uint32,
+    5126: np.float32,
+}
+_TYPE_COUNTS = {
+    "SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4,
+    "MAT2": 4, "MAT3": 9, "MAT4": 16,
+}
+
+
+def _load_glb(data: bytes):
+    magic, version, length = struct.unpack_from("<III", data, 0)
+    assert magic == 0x46546C67, "not a GLB file"
+    offset = 12
+    doc = None
+    bin_chunk = b""
+    while offset < length:
+        clen, ctype = struct.unpack_from("<II", data, offset)
+        offset += 8
+        chunk = data[offset : offset + clen]
+        offset += clen
+        if ctype == 0x4E4F534A:  # JSON
+            doc = json.loads(chunk.decode("utf-8"))
+        elif ctype == 0x004E4942:  # BIN
+            bin_chunk = chunk
+    return doc, bin_chunk
+
+
+def _read_buffer(buf: dict, base_dir: str, glb_bin: bytes) -> bytes:
+    uri = buf.get("uri")
+    if uri is None:
+        return glb_bin
+    if uri.startswith("data:"):
+        return base64.b64decode(uri.split(",", 1)[1])
+    with open(os.path.join(base_dir, uri), "rb") as f:
+        return f.read()
+
+
+def _accessor(doc, buffers, idx: int) -> np.ndarray:
+    acc = doc["accessors"][idx]
+    n = acc["count"]
+    ncomp = _TYPE_COUNTS[acc["type"]]
+    dtype = _COMPONENT_DTYPES[acc["componentType"]]
+    itemsize = np.dtype(dtype).itemsize
+    if "bufferView" not in acc:
+        out = np.zeros((n, ncomp), dtype)
+    else:
+        bv = doc["bufferViews"][acc["bufferView"]]
+        data = buffers[bv["buffer"]]
+        start = bv.get("byteOffset", 0) + acc.get("byteOffset", 0)
+        stride = bv.get("byteStride") or ncomp * itemsize
+        raw = np.frombuffer(data, np.uint8)
+        rows = np.empty((n, ncomp * itemsize), np.uint8)
+        for i in range(ncomp * itemsize):
+            rows[:, i] = raw[start + i : start + i + (n - 1) * stride + 1 : stride]
+        out = rows.view(dtype).reshape(n, ncomp)
+    # sparse substitution
+    sp = acc.get("sparse")
+    if sp:
+        out = out.copy()
+        cnt = sp["count"]
+        iv = sp["indices"]
+        bv = doc["bufferViews"][iv["bufferView"]]
+        idt = _COMPONENT_DTYPES[iv["componentType"]]
+        ids = np.frombuffer(
+            buffers[bv["buffer"]],
+            idt,
+            cnt,
+            bv.get("byteOffset", 0) + iv.get("byteOffset", 0),
+        )
+        vv = sp["values"]
+        bv2 = doc["bufferViews"][vv["bufferView"]]
+        vals = np.frombuffer(
+            buffers[bv2["buffer"]],
+            dtype,
+            cnt * ncomp,
+            bv2.get("byteOffset", 0) + vv.get("byteOffset", 0),
+        ).reshape(cnt, ncomp)
+        out[ids] = vals
+    if acc.get("normalized") and dtype != np.float32:
+        out = out.astype(np.float32) / np.iinfo(dtype).max
+    return out
+
+
+def _node_matrix(node: dict) -> np.ndarray:
+    if "matrix" in node:
+        return np.array(node["matrix"], np.float32).reshape(4, 4).T  # column-major in
+    t = np.array(node.get("translation", [0, 0, 0]), np.float32)
+    q = np.array(node.get("rotation", [0, 0, 0, 1]), np.float32)  # xyzw
+    s = np.array(node.get("scale", [1, 1, 1]), np.float32)
+    x, y, z, w = q
+    rot = np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ],
+        np.float32,
+    )
+    m = np.eye(4, dtype=np.float32)
+    m[:3, :3] = rot * s[None, :]
+    m[:3, 3] = t
+    return m
+
+
+def _load_image(doc, buffers, base_dir: str, img_idx: int) -> Optional[np.ndarray]:
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    img = doc["images"][img_idx]
+    if "uri" in img:
+        uri = img["uri"]
+        if uri.startswith("data:"):
+            raw = base64.b64decode(uri.split(",", 1)[1])
+        else:
+            with open(os.path.join(base_dir, uri), "rb") as f:
+                raw = f.read()
+    else:
+        bv = doc["bufferViews"][img["bufferView"]]
+        data = buffers[bv["buffer"]]
+        off = bv.get("byteOffset", 0)
+        raw = data[off : off + bv["byteLength"]]
+    pil = Image.open(io.BytesIO(raw)).convert("RGBA")
+    return np.asarray(pil, np.uint8)
+
+
+def load_gltf(path: str, builder: Optional[SceneBuilder] = None) -> SceneBuilder:
+    """Load a .gltf/.glb into a SceneBuilder (instantiates the default
+    scene's node hierarchy, ≙ LoadScenes `SceneManager.cpp:124`)."""
+    base_dir = os.path.dirname(os.path.abspath(path))
+    with open(path, "rb") as f:
+        data = f.read()
+    if path.endswith(".glb") or data[:4] == b"glTF":
+        doc, glb_bin = _load_glb(data)
+    else:
+        doc, glb_bin = json.loads(data.decode("utf-8")), b""
+    buffers = [
+        _read_buffer(b, base_dir, glb_bin) for b in doc.get("buffers", [])
+    ]
+    b = builder or SceneBuilder()
+
+    # --- textures (texture -> image -> atlas id) ---
+    tex_ids: Dict[int, int] = {}
+    for ti, tex in enumerate(doc.get("textures", [])):
+        src = tex.get("source")
+        if src is None:
+            continue
+        arr = _load_image(doc, buffers, base_dir, src)
+        if arr is not None:
+            tex_ids[ti] = b.add_texture(arr)
+
+    def tid(info) -> int:
+        if not info:
+            return -1
+        return tex_ids.get(info.get("index", -1), -1)
+
+    # --- materials (pbrMetallicRoughness → MaterialSpec) ---
+    mat_ids: List[int] = []
+    for mat in doc.get("materials", [{}]):
+        pbr = mat.get("pbrMetallicRoughness", {})
+        base = pbr.get("baseColorFactor", [1, 1, 1, 1])
+        em = mat.get("emissiveFactor", [0, 0, 0])
+        strength = (
+            mat.get("extensions", {})
+            .get("KHR_materials_emissive_strength", {})
+            .get("emissiveStrength", 1.0)
+        )
+        ior = (
+            mat.get("extensions", {})
+            .get("KHR_materials_ior", {})
+            .get("ior", 1.5)
+        )
+        trans = (
+            mat.get("extensions", {})
+            .get("KHR_materials_transmission", {})
+            .get("transmissionFactor", 0.0)
+        )
+        mat_ids.append(
+            b.add_material(
+                MaterialSpec(
+                    base_color=tuple(base[:3]),
+                    metallic=pbr.get("metallicFactor", 1.0),
+                    roughness=pbr.get("roughnessFactor", 1.0),
+                    emissive=tuple(np.array(em) * strength),
+                    ior=ior,
+                    spec_trans=trans,
+                    base_color_tex=tid(pbr.get("baseColorTexture")),
+                    metal_rough_tex=tid(pbr.get("metallicRoughnessTexture")),
+                    emissive_tex=tid(mat.get("emissiveTexture")),
+                    normal_tex=tid(mat.get("normalTexture")),
+                )
+            )
+        )
+    if not mat_ids:
+        mat_ids = [b.add_material(MaterialSpec())]
+
+    # --- meshes (primitive → MeshHost; index generation ≙ SceneManager) ---
+    meshes: List[List[MeshHost]] = []
+    for mesh in doc.get("meshes", []):
+        prims = []
+        for prim in mesh.get("primitives", []):
+            attrs = prim["attributes"]
+            pos = _accessor(doc, buffers, attrs["POSITION"]).astype(np.float32)
+            if "indices" in prim:
+                idx = _accessor(doc, buffers, prim["indices"]).reshape(-1).astype(np.int32)
+            else:
+                idx = np.arange(pos.shape[0], dtype=np.int32)
+            idx = idx.reshape(-1, 3)
+            nrm = (
+                _accessor(doc, buffers, attrs["NORMAL"]).astype(np.float32)
+                if "NORMAL" in attrs
+                else None
+            )
+            uv = (
+                _accessor(doc, buffers, attrs["TEXCOORD_0"]).astype(np.float32)
+                if "TEXCOORD_0" in attrs
+                else None
+            )
+            tan = (
+                _accessor(doc, buffers, attrs["TANGENT"]).astype(np.float32)
+                if "TANGENT" in attrs
+                else None
+            )
+            mat = mat_ids[prim.get("material", 0)] if mat_ids else 0
+            prims.append(
+                MeshHost(
+                    positions=pos, indices=idx, normals=nrm, uvs=uv,
+                    tangents=tan, material_ids=mat,
+                )
+            )
+        meshes.append(prims)
+
+    # --- node hierarchy → world transforms → instances ---
+    nodes = doc.get("nodes", [])
+    scene_idx = doc.get("scene", 0)
+    scenes = doc.get("scenes", [{"nodes": list(range(len(nodes)))}])
+    roots = scenes[scene_idx].get("nodes", [])
+
+    def visit(ni: int, parent: np.ndarray):
+        node = nodes[ni]
+        world = parent @ _node_matrix(node)
+        if "mesh" in node:
+            for mh in meshes[node["mesh"]]:
+                b.add_instance(
+                    InstanceHost(
+                        mesh=mh, transform=world, emission_mode=EmissionMode.ENABLED
+                    )
+                )
+        for ch in node.get("children", []):
+            visit(ch, world)
+
+    for r in roots:
+        visit(r, np.eye(4, dtype=np.float32))
+    return b

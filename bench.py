@@ -30,7 +30,7 @@ def main() -> int:
     depth = int(os.environ.get("BENCH_DEPTH", 5))
     frames = int(os.environ.get("BENCH_FRAMES", 8))
     boxes = int(os.environ.get("BENCH_BOXES", 600))
-    accel = os.environ.get("BENCH_ACCEL", "stream")
+    accel = os.environ.get("BENCH_ACCEL", "tiled")
 
     from lumenrenderer_tpu.integrator.wavefront import RenderConfig
     from lumenrenderer_tpu.render.renderer import Renderer

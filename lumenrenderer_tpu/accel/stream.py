@@ -9,16 +9,16 @@ intersection as dense, sorted, compacted stream work:
 1. Triangles are partitioned into CLUSTERS of K by a binned-SAH cut
    (`accel/sah.py` with leaf_size=K).
 2. Möller–Trumbore is *lifted to a bilinear form*: with ray features
-   f = [o×d, d, o, 1] (10) and per-triangle coefficient columns
-   [det|u|v|t], all four MT quantities for a (rays × tris) block are ONE
-   f32 matmul (R,10)@(10,4K) — systolic-array work instead of VPU scalar
-   chains. Cluster-local coordinates keep magnitudes small for f32.
+   f = [o×d, d, o, 1] (10, computed ONCE per ray) and per-triangle
+   coefficient columns [det|u|v|t], all four MT quantities for a
+   (rays × tris) block are ONE f32 matmul — systolic-array work instead of
+   VPU scalar chains.
 3. Ray×cluster candidate pairs come from a dense AABB test, are extracted
    C-major (cluster-sorted for free) via size-bounded compaction, padded so
-   every 256-pair tile touches exactly ONE cluster, then intersected with a
-   batched einsum; closest hits reduce back per-ray with scatter-min.
-   This is the north star's "stream compaction via sort/scan instead of
-   persistent-kernel queues" made concrete.
+   every PAIR_TILE-pair tile touches exactly ONE cluster, then intersected
+   with a batched einsum; closest hits reduce back per-ray with
+   scatter-min. This is the north star's "stream compaction via sort/scan
+   instead of persistent-kernel queues" made concrete.
 
 Static shape caps (`max_pairs_per_ray`) bound compaction; overflow is
 reported (never silently wrong unless the cap is exceeded, in which case
@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-PAIR_TILE = 256
+PAIR_TILE = 128
 
 
 @flax.struct.dataclass
@@ -43,7 +43,6 @@ class ClusterSet:
 
     aabb_lo: jnp.ndarray    # (C,3)
     aabb_hi: jnp.ndarray    # (C,3)
-    centroid: jnp.ndarray   # (C,3) local-frame origin per cluster
     tri_feat: jnp.ndarray   # (C,10,4K) MT coefficient columns [det,u,v,t]*K
     tri_id: jnp.ndarray     # (C,K) original tri ids (-1 pad)
     tris_per_cluster: int = flax.struct.field(pytree_node=False)
@@ -53,8 +52,18 @@ class ClusterSet:
         return self.aabb_lo.shape[0]
 
 
+def ray_features(o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """Per-ray MT feature rows [o×d, d, o, 1] — computed once per batch."""
+    m = jnp.cross(o, d)
+    return jnp.concatenate(
+        [m, d, o, jnp.ones(o.shape[:-1] + (1,), o.dtype)], axis=-1
+    )
+
+
 def build_clusters(tri_pos, cluster_size: int = 64) -> ClusterSet:
-    """Partition triangles into SAH clusters and precompute MT features."""
+    """Partition triangles into SAH clusters and precompute MT features
+    (global frame; f32 is ample at rendering precision for scene extents up
+    to ~1e3 — cite: RAY_EPS=1e-3 working precision)."""
     from .sah import build_sah_arrays
 
     tp = np.asarray(tri_pos, np.float64)
@@ -65,10 +74,10 @@ def build_clusters(tri_pos, cluster_size: int = 64) -> ClusterSet:
     c = order.shape[0] // k
     tri_id = order.reshape(c, k)
 
-    # per-cluster AABB + centroid from member triangles
-    lo = np.full((c, 3), np.inf)
-    hi = np.full((c, 3), -np.inf)
+    lo = np.full((c, 3), 1e30)
+    hi = np.full((c, 3), -1e30)
     feat = np.zeros((c, 10, 4 * k), np.float64)
+    valid_any = tri_id >= 0
     for ci in range(c):
         ids = tri_id[ci]
         valid = ids >= 0
@@ -76,35 +85,23 @@ def build_clusters(tri_pos, cluster_size: int = 64) -> ClusterSet:
             pts = tp[ids[valid]].reshape(-1, 3)
             lo[ci] = pts.min(0)
             hi[ci] = pts.max(0)
-    cent = np.where(np.isfinite(lo), 0.5 * (lo + hi), 0.0)
-
-    for ci in range(c):
-        ids = tri_id[ci]
-        for kk in range(k):
-            ti = ids[kk]
-            if ti < 0:
-                continue
-            p0 = tp[ti, 0] - cent[ci]
-            e1 = tp[ti, 1] - tp[ti, 0]
-            e2 = tp[ti, 2] - tp[ti, 0]
-            n = np.cross(e1, e2)
-            col = 4 * kk
-            # det = -d·n  (= MT determinant e1·(d×e2))
-            feat[ci, 3:6, col + 0] = -n
-            # u_num = m·e2 + d·(p0×e2)
-            feat[ci, 0:3, col + 1] = e2
-            feat[ci, 3:6, col + 1] = np.cross(p0, e2)
-            # v_num = -m·e1 - d·(p0×e1)
-            feat[ci, 0:3, col + 2] = -e1
-            feat[ci, 3:6, col + 2] = -np.cross(p0, e1)
-            # t_num = o·n - p0·n
-            feat[ci, 6:9, col + 3] = n
-            feat[ci, 9, col + 3] = -np.dot(p0, n)
+        p0 = tp[np.maximum(ids, 0), 0]
+        e1 = tp[np.maximum(ids, 0), 1] - p0
+        e2 = tp[np.maximum(ids, 0), 2] - p0
+        n = np.cross(e1, e2)
+        vz = valid[:, None]
+        cols = np.arange(k) * 4
+        feat[ci, 3:6, cols + 0] = np.where(vz, -n, 0.0)
+        feat[ci, 0:3, cols + 1] = np.where(vz, e2, 0.0)
+        feat[ci, 3:6, cols + 1] = np.where(vz, np.cross(p0, e2), 0.0)
+        feat[ci, 0:3, cols + 2] = np.where(vz, -e1, 0.0)
+        feat[ci, 3:6, cols + 2] = np.where(vz, -np.cross(p0, e1), 0.0)
+        feat[ci, 6:9, cols + 3] = np.where(vz, n, 0.0)
+        feat[ci, 9, cols + 3] = np.where(valid, -np.einsum("kj,kj->k", p0, n), 0.0)
 
     return ClusterSet(
-        aabb_lo=jnp.asarray(np.where(np.isfinite(lo), lo, 1e30), jnp.float32),
-        aabb_hi=jnp.asarray(np.where(np.isfinite(hi), hi, -1e30), jnp.float32),
-        centroid=jnp.asarray(cent, jnp.float32),
+        aabb_lo=jnp.asarray(lo, jnp.float32),
+        aabb_hi=jnp.asarray(hi, jnp.float32),
         tri_feat=jnp.asarray(feat, jnp.float32),
         tri_id=jnp.asarray(tri_id.astype(np.int32)),
         tris_per_cluster=k,
@@ -162,25 +159,25 @@ def _pad_runs_to_tiles(pair_ray, pair_cluster, num_clusters: int, out_size: int)
     return padded_ray, tile_cluster
 
 
-def _intersect_tiles(cs: ClusterSet, o, d, t_min, t_max, padded_ray, tile_cluster):
-    """Batched MT over pair tiles. Returns per-pair (t, u, v, tri, hit) flat."""
+def _intersect_tiles(
+    cs: ClusterSet, rf, t_min, t_max, padded_ray, tile_cluster, need_uv: bool
+):
+    """Batched MT over pair tiles.
+
+    rf: (R,10) precomputed ray features. Returns flat per-pair results:
+    (ray (P,), t, u, v, tri_id, hit).
+    """
     k = cs.tris_per_cluster
     tiles = tile_cluster.shape[0]
     pr = padded_ray.reshape(tiles, PAIR_TILE)
     prc = jnp.maximum(pr, 0)
     tc = jnp.maximum(tile_cluster, 0)
 
-    cent = cs.centroid[tc]                      # (T,3)
-    o_t = o[prc] - cent[:, None, :]             # (T,P,3) cluster-local
-    d_t = d[prc]                                # (T,P,3)
-    m = jnp.cross(o_t, d_t)
-    ones = jnp.ones(o_t.shape[:-1] + (1,), o_t.dtype)
-    f = jnp.concatenate([m, d_t, o_t, ones], axis=-1)  # (T,P,10)
-
+    f = rf[prc]                                 # (T,P,10) one gather
     feats = cs.tri_feat[tc]                     # (T,10,4K)
     res = jnp.einsum(
         "tpf,tfk->tpk", f, feats, preferred_element_type=jnp.float32
-    )                                           # (T,P,4K)
+    )
     res = res.reshape(tiles, PAIR_TILE, k, 4)
     det = res[..., 0]
     ok = jnp.abs(det) > 1e-12
@@ -203,26 +200,36 @@ def _intersect_tiles(cs: ClusterSet, o, d, t_min, t_max, padded_ray, tile_cluste
         & (pr >= 0)[..., None]
     )
     t = jnp.where(hit, t, jnp.inf)
+    if not need_uv:
+        return pr, t, None, None, None, hit
     return pr, t, u, v, jnp.broadcast_to(tid[:, None, :], t.shape), hit
+
+
+def _sizes(r: int, c: int, max_pairs_per_ray: int):
+    max_pairs = ((r * max_pairs_per_ray) // PAIR_TILE + 1) * PAIR_TILE
+    out_size = max_pairs + c * PAIR_TILE
+    return max_pairs, out_size
 
 
 @partial(jax.jit, static_argnames=("max_pairs_per_ray",))
 def intersect_closest(cs: ClusterSet, origins, dirs, t_min, t_max,
-                      max_pairs_per_ray: int = 24):
+                      max_pairs_per_ray: int = 8):
     """Closest-hit query; contract matches `accel.brute.intersect_closest`,
-    plus an 'overflow' bool in the result dict."""
+    plus an 'overflow' bool in the result dict. Rays with t_max <= t_min are
+    dead and generate no pair work."""
     r = origins.shape[0]
     t_min_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
-    c = cs.num_clusters
-    max_pairs = ((r * max_pairs_per_ray) // PAIR_TILE + 1) * PAIR_TILE
+    max_pairs, out_size = _sizes(r, cs.num_clusters, max_pairs_per_ray)
 
     mask = _ray_cluster_mask(cs, origins, dirs, t_min_b, t_max_b)
     pair_ray, pair_cluster, overflow = _extract_pairs(mask, max_pairs)
-    out_size = max_pairs + c * PAIR_TILE
-    padded_ray, tile_cluster = _pad_runs_to_tiles(pair_ray, pair_cluster, c, out_size)
+    padded_ray, tile_cluster = _pad_runs_to_tiles(
+        pair_ray, pair_cluster, cs.num_clusters, out_size
+    )
+    rf = ray_features(origins, dirs)
     pr, t, u, v, tid, hit = _intersect_tiles(
-        cs, origins, dirs, t_min_b, t_max_b, padded_ray, tile_cluster
+        cs, rf, t_min_b, t_max_b, padded_ray, tile_cluster, need_uv=True
     )
 
     # per-pair best over K, then scatter-min per ray
@@ -256,20 +263,21 @@ def intersect_closest(cs: ClusterSet, origins, dirs, t_min, t_max,
 
 @partial(jax.jit, static_argnames=("max_pairs_per_ray",))
 def intersect_any(cs: ClusterSet, origins, dirs, t_min, t_max,
-                  max_pairs_per_ray: int = 24):
+                  max_pairs_per_ray: int = 8):
     """Occlusion query: True where any triangle blocks [t_min, t_max]."""
     r = origins.shape[0]
     t_min_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
-    c = cs.num_clusters
-    max_pairs = ((r * max_pairs_per_ray) // PAIR_TILE + 1) * PAIR_TILE
+    max_pairs, out_size = _sizes(r, cs.num_clusters, max_pairs_per_ray)
 
     mask = _ray_cluster_mask(cs, origins, dirs, t_min_b, t_max_b)
     pair_ray, pair_cluster, _ = _extract_pairs(mask, max_pairs)
-    out_size = max_pairs + c * PAIR_TILE
-    padded_ray, tile_cluster = _pad_runs_to_tiles(pair_ray, pair_cluster, c, out_size)
-    pr, t, u, v, tid, hit = _intersect_tiles(
-        cs, origins, dirs, t_min_b, t_max_b, padded_ray, tile_cluster
+    padded_ray, tile_cluster = _pad_runs_to_tiles(
+        pair_ray, pair_cluster, cs.num_clusters, out_size
+    )
+    rf = ray_features(origins, dirs)
+    pr, t, _, _, _, hit = _intersect_tiles(
+        cs, rf, t_min_b, t_max_b, padded_ray, tile_cluster, need_uv=False
     )
     any_hit = jnp.any(hit, axis=-1).reshape(-1)
     ray_p = jnp.where(pr.reshape(-1) >= 0, pr.reshape(-1), r)
@@ -277,7 +285,7 @@ def intersect_any(cs: ClusterSet, origins, dirs, t_min, t_max,
     return occ[:r]
 
 
-def stream_intersectors(cs: ClusterSet, max_pairs_per_ray: int = 24) -> Tuple:
+def stream_intersectors(cs: ClusterSet, max_pairs_per_ray: int = 8) -> Tuple:
     """Bind a ClusterSet into (intersect_fn, occlude_fn) for the wavefront
     loop (drops the overflow flag; query it separately when validating)."""
 

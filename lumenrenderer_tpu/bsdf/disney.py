@@ -31,25 +31,25 @@ class _Lobes(NamedTuple):
     p_transmission: jnp.ndarray
 
 
-def _lobe_probs(mat_rows, sd) -> _Lobes:
+def _lobe_probs(g, sd) -> _Lobes:
     base_lum = jnp.maximum(vm.luminance(sd.base_color), 1e-4)
     metallic = sd.metallic
-    spec_trans = mat_rows.spec_trans[sd.mat_idx]
-    f0_lum = vm.luminance(_f0_color(mat_rows, sd))
+    spec_trans = g.spec_trans
+    f0_lum = vm.luminance(_f0_color(g, sd))
     w_diff = (1.0 - metallic) * (1.0 - spec_trans) * base_lum
     w_spec = jnp.maximum(f0_lum, 0.08)
-    w_cc = 0.25 * mat_rows.clearcoat[sd.mat_idx]
+    w_cc = 0.25 * g.clearcoat
     w_trans = (1.0 - metallic) * spec_trans * base_lum
     total = w_diff + w_spec + w_cc + w_trans
     inv = 1.0 / jnp.maximum(total, 1e-8)
     return _Lobes(w_diff * inv, w_spec * inv, w_cc * inv, w_trans * inv)
 
 
-def _f0_color(mat_rows, sd):
+def _f0_color(g, sd):
     """Specular F0: dielectric from `specular` scaled 0.08, tinted, lerped to
     base color by metallic (Disney convention)."""
-    spec = mat_rows.specular[sd.mat_idx]
-    tint_w = mat_rows.spec_tint[sd.mat_idx]
+    spec = g.specular
+    tint_w = g.spec_tint
     lum = jnp.maximum(vm.luminance(sd.base_color), 1e-8)
     tint = sd.base_color / lum[..., None]
     dielectric = (
@@ -62,13 +62,13 @@ def _alpha(roughness):
     return jnp.maximum(roughness * roughness, 1e-4)
 
 
-def _eta(mat_rows, sd):
+def _eta(g, sd):
     """Relative IOR eta_i/eta_t for refraction direction computation."""
-    ior = mat_rows.ior[sd.mat_idx]
+    ior = g.ior
     return jnp.where(sd.front_face, 1.0 / ior, ior)
 
 
-def _eval_lobes(mat_rows, sd, wo_l, wi_l):
+def _eval_lobes(g, sd, wo_l, wi_l):
     """All reflection lobes in tangent space; wo_l.z > 0 assumed.
 
     Returns (f_reflect (R,3), pdf components dict).
@@ -97,10 +97,10 @@ def _eval_lobes(mat_rows, sd, wo_l, wi_l):
     fss90 = rr
     fss = (1.0 + (fss90 - 1.0) * fl) * (1.0 + (fss90 - 1.0) * fv)
     ss = 1.25 * (fss * (1.0 / (cos_i_c + cos_o) - 0.5) + 0.5)
-    subsurface = mat_rows.subsurface[sd.mat_idx]
+    subsurface = g.subsurface
     diff_w = vm.lerp(f_d, ss, subsurface)
     diffuse_weight = (1.0 - sd.metallic) * (
-        1.0 - mat_rows.spec_trans[sd.mat_idx]
+        1.0 - g.spec_trans
     )
     f_diffuse = (
         sd.base_color / jnp.pi * (diff_w * diffuse_weight)[..., None]
@@ -108,23 +108,23 @@ def _eval_lobes(mat_rows, sd, wo_l, wi_l):
     # sheen
     lum = jnp.maximum(vm.luminance(sd.base_color), 1e-8)
     tint = sd.base_color / lum[..., None]
-    sheen_tint = mat_rows.sheen_tint[sd.mat_idx]
+    sheen_tint = g.sheen_tint
     sheen_color = vm.lerp(jnp.ones_like(tint), tint, sheen_tint[..., None])
     fh = common.schlick_fresnel(oh)
     f_sheen = (
-        mat_rows.sheen[sd.mat_idx] * diffuse_weight
+        g.sheen * diffuse_weight
     )[..., None] * sheen_color * fh[..., None]
 
     # -- GGX specular --
-    f0 = _f0_color(mat_rows, sd)
+    f0 = _f0_color(g, sd)
     fres = common.fresnel_schlick(f0, oh)
     d = common.ggx_d(nh, alpha)
-    g = common.smith_g2(cos_o, cos_i_c, alpha)
-    f_spec = fres * (d * g / jnp.maximum(4.0 * cos_o * cos_i_c, 1e-8))[..., None]
+    g2 = common.smith_g2(cos_o, cos_i_c, alpha)
+    f_spec = fres * (d * g2 / jnp.maximum(4.0 * cos_o * cos_i_c, 1e-8))[..., None]
 
     # -- clearcoat (GTR1, fixed 0.25 weight, F0=0.04) --
-    cc = mat_rows.clearcoat[sd.mat_idx]
-    cc_alpha = vm.lerp(0.1, 0.001, mat_rows.clearcoat_gloss[sd.mat_idx])
+    cc = g.clearcoat
+    cc_alpha = vm.lerp(0.1, 0.001, g.clearcoat_gloss)
     d_cc = common.gtr1_d(nh, cc_alpha)
     g_cc = common.smith_g2(cos_o, cos_i_c, jnp.full_like(cc_alpha, 0.25))
     f_cc_s = 0.04 + 0.96 * common.schlick_fresnel(oh)
@@ -151,7 +151,7 @@ def _eval_lobes(mat_rows, sd, wo_l, wi_l):
     }
 
 
-def _eval_transmission(mat_rows, sd, wo_l, wi_l):
+def _eval_transmission(g, sd, wo_l, wi_l):
     """Rough dielectric transmission (Walter 2007) with base-color tint.
 
     ≙ `frosted.cuh` rough dielectric; Beer's-law volume absorption is applied
@@ -161,7 +161,7 @@ def _eval_transmission(mat_rows, sd, wo_l, wi_l):
     cos_o = jnp.maximum(wo_l[..., 2], 1e-6)
     cos_i = wi_l[..., 2]
     trans_side = cos_i < -1e-6
-    eta = _eta(mat_rows, sd)  # eta_i / eta_t
+    eta = _eta(g, sd)  # eta_i / eta_t
     # half vector for refraction: h = -(wo*eta_i + wi*eta_t) normalized.
     # with our eta convention: h ∝ wo + wi/eta ... use wt = wo + wi/eta?
     # Walter: h = -(eta_i * wi + eta_t * wo). Use unit-free form:
@@ -172,19 +172,19 @@ def _eval_transmission(mat_rows, sd, wo_l, wi_l):
     nh = jnp.maximum(h[..., 2], 0.0)
     alpha = _alpha(sd.roughness)
     d = common.ggx_d(nh, alpha)
-    g = common.smith_g2(cos_o, jnp.abs(cos_i), alpha)
+    g2 = common.smith_g2(cos_o, jnp.abs(cos_i), alpha)
     f_r = common.fresnel_dielectric(jnp.abs(oh), 1.0 / eta)
     denom = jnp.maximum((oh + ih / eta) ** 2, 1e-8)
     jac = jnp.abs(ih) / denom * (1.0 / (eta * eta))
     f_t = (
         (1.0 - f_r)
         * d
-        * g
+        * g2
         * jnp.abs(oh)
         * jac
         / jnp.maximum(cos_o * jnp.abs(cos_i), 1e-8)
     )
-    spec_trans = mat_rows.spec_trans[sd.mat_idx]
+    spec_trans = g.spec_trans
     w = (1.0 - sd.metallic) * spec_trans
     color = jnp.sqrt(jnp.maximum(sd.base_color, 0.0))  # thin tint split
     f_trans = jnp.where(
@@ -198,16 +198,23 @@ def _eval_transmission(mat_rows, sd, wo_l, wi_l):
 
 
 def evaluate(materials, sd, wo, wi):
-    """Combined Disney f (no cosine) and sampling pdf. World-space wo/wi."""
+    """Combined Disney f (no cosine) and sampling pdf. World-space wo/wi.
+
+    `materials` is unused (kept for API stability): params come pre-gathered
+    as packed rows on sd (one gather per batch, see MaterialTable.packed).
+    """
+    from ..scene.materials import GatheredMaterial
+
+    g = GatheredMaterial(sd.mat_rows)
     wo_l = vm.to_local(wo, sd.normal)
     wi_l = vm.to_local(wi, sd.normal)
     # shading normal may disagree with geometric side; clamp wo to upper hemi
     valid_o = wo_l[..., 2] > 1e-6
     wo_l = wo_l.at[..., 2].set(jnp.maximum(wo_l[..., 2], 1e-6))
 
-    f_refl, pdfs = _eval_lobes(materials, sd, wo_l, wi_l)
-    f_trans, pdf_trans = _eval_transmission(materials, sd, wo_l, wi_l)
-    lobes = _lobe_probs(materials, sd)
+    f_refl, pdfs = _eval_lobes(g, sd, wo_l, wi_l)
+    f_trans, pdf_trans = _eval_transmission(g, sd, wo_l, wi_l)
+    lobes = _lobe_probs(g, sd)
     f = f_refl + f_trans
     pdf = (
         lobes.p_diffuse * pdfs["diffuse"]
@@ -223,9 +230,12 @@ def evaluate(materials, sd, wo, wi):
 def sample(materials, sd, wo, u, key=None):
     """Sample the Disney BSDF. u: (R,4) uniforms (2 for direction, 1 lobe
     select, 1 spare). Returns (wi, f, pdf, is_specular)."""
+    from ..scene.materials import GatheredMaterial
+
+    g = GatheredMaterial(sd.mat_rows)
     wo_l = vm.to_local(wo, sd.normal)
     wo_l = wo_l.at[..., 2].set(jnp.maximum(wo_l[..., 2], 1e-6))
-    lobes = _lobe_probs(materials, sd)
+    lobes = _lobe_probs(g, sd)
     sel = u[..., 2]
     c1 = lobes.p_diffuse
     c2 = c1 + lobes.p_specular
@@ -243,7 +253,7 @@ def sample(materials, sd, wo, u, key=None):
     m_spec = sampling.sample_ggx_vndf(wo_l, jnp.sqrt(alpha), u2)
     wi_spec = vm.reflect(-wo_l, m_spec)
     # clearcoat: GTR1 D-sampling
-    cc_alpha = vm.lerp(0.1, 0.001, materials.clearcoat_gloss[sd.mat_idx])
+    cc_alpha = vm.lerp(0.1, 0.001, g.clearcoat_gloss)
     a2 = jnp.clip(cc_alpha * cc_alpha, 1e-6, 1.0 - 1e-6)
     cos2 = (1.0 - jnp.power(a2, 1.0 - u2[..., 0])) / (1.0 - a2)
     cos_t = jnp.sqrt(jnp.clip(cos2, 0.0, 1.0))
@@ -254,7 +264,7 @@ def sample(materials, sd, wo, u, key=None):
     )
     wi_cc = vm.reflect(-wo_l, m_cc)
     # transmission: VNDF half-vector, refract (or reflect on TIR/Fresnel)
-    eta = _eta(materials, sd)
+    eta = _eta(g, sd)
     m_t = sampling.sample_ggx_vndf(wo_l, jnp.sqrt(alpha), u2)
     cos_om = vm.dot(wo_l, m_t)
     f_r = common.fresnel_dielectric(jnp.abs(cos_om), 1.0 / eta)

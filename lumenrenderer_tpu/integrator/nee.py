@@ -34,7 +34,20 @@ class LightSample(NamedTuple):
     valid: jnp.ndarray       # (R,) bool
 
 
-def sample_light(scene: SceneData, u: jnp.ndarray, shading_pos: jnp.ndarray) -> LightSample:
+def all_light_radiance(scene: SceneData) -> jnp.ndarray:
+    """Dense (L,3) differentiable radiance of every light row — computed
+    once per frame so per-ray light sampling needs a single packed gather
+    instead of 6+ (TPU gathers have a high fixed cost)."""
+    lights = scene.lights
+    return scene.light_radiance(jnp.arange(lights.capacity, dtype=jnp.int32))
+
+
+def sample_light(
+    scene: SceneData,
+    u: jnp.ndarray,
+    shading_pos: jnp.ndarray,
+    light_rad_all: jnp.ndarray | None = None,
+) -> LightSample:
     """Uniformly pick one of the scene's triangle lights and a point on it.
 
     u: (R,3) uniforms — u[:,0] selects the light, u[:,1:3] the point.
@@ -46,13 +59,14 @@ def sample_light(scene: SceneData, u: jnp.ndarray, shading_pos: jnp.ndarray) -> 
         (u[:, 0] * n_lights.astype(jnp.float32)).astype(jnp.int32), n_lights - 1
     )
     bary = sampling.sample_triangle(u[:, 1:3])
-    p0 = lights.p0[idx]
-    e1 = lights.e1[idx]
-    e2 = lights.e2[idx]
+    row = lights.packed[idx]                       # ONE gather: p0,e1,e2,n,area
+    p0, e1, e2 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
     point = p0 + bary[:, 1:2] * e1 + bary[:, 2:3] * e2
-    nrm = lights.normal[idx]
-    area = lights.area[idx]
-    rad = scene.light_radiance(idx)
+    nrm = row[:, 9:12]
+    area = row[:, 12]
+    rad = (
+        light_rad_all[idx] if light_rad_all is not None else scene.light_radiance(idx)
+    )
 
     to_light = point - shading_pos
     dist = vm.length(to_light)
@@ -95,8 +109,9 @@ def light_pdf_solid_angle(
     row = lights.tri_to_light[jnp.maximum(hit_tri, 0)]
     found = (hit_tri >= 0) & (row >= 0)
     row = jnp.maximum(row, 0)
-    area = lights.area[row]
-    nrm = lights.normal[row]
+    prow = lights.packed[row]
+    area = prow[:, 12]
+    nrm = prow[:, 9:12]
     cos_l = jnp.maximum(vm.dot(nrm, -wi), 0.0)
     n_lights = jnp.maximum(lights.count, 1).astype(jnp.float32)
     pdf_a = (1.0 / n_lights) / jnp.maximum(area, 1e-12)

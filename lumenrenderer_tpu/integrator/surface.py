@@ -31,6 +31,7 @@ class SurfaceData:
     roughness: jnp.ndarray     # (R,)
     alpha: jnp.ndarray         # (R,) opacity from base-color texture alpha
     mat_idx: jnp.ndarray       # (R,) int32
+    mat_rows: jnp.ndarray      # (R,22) packed material params (one gather)
     tri_idx: jnp.ndarray       # (R,) int32 (-1 = miss)
     valid: jnp.ndarray         # (R,) bool hit mask
     is_emissive: jnp.ndarray   # (R,) bool (≙ SurfaceFlags::EMISSIVE)
@@ -80,30 +81,48 @@ def extract_surface_data(
     normal = jnp.where(vm.dot(normal, geo_normal)[..., None] < 0.0, -normal, normal)
 
     mats = scene.materials
-    base_tex = sample_bilinear(scene.textures, mats.base_color_tex[mat_idx], uv)
-    base_color = mats.base_color[mat_idx] * base_tex[..., :3]
-    alpha = base_tex[..., 3]
-    em_tex = sample_bilinear(scene.textures, mats.emissive_tex[mat_idx], uv)
-    emissive = mats.emissive[mat_idx] * em_tex[..., :3]
+    # ONE row gather for all float params (per-param gathers are ~15x the
+    # fixed gather cost on TPU)
+    from ..scene.materials import GatheredMaterial
+
+    rows = mats.packed()[mat_idx]
+    g = GatheredMaterial(rows)
+    # static fast path: a trivial atlas (only the builtin white texel) means
+    # no material references any texture — skip all sampling gathers
+    has_textures = scene.textures.count > 1
+    if has_textures:
+        base_tex = sample_bilinear(scene.textures, mats.base_color_tex[mat_idx], uv)
+        base_color = g.base_color * base_tex[..., :3]
+        alpha = base_tex[..., 3]
+        em_tex = sample_bilinear(scene.textures, mats.emissive_tex[mat_idx], uv)
+        emissive = g.emissive * em_tex[..., :3]
+    else:
+        base_color = g.base_color
+        alpha = jnp.ones_like(hit_t)
+        emissive = g.emissive
     # instance emission override (≙ DevicePrimitiveInstance override modes)
     mode = scene.inst_emission_mode[inst_idx]
     override = scene.inst_emission_override[inst_idx]
     emissive = jnp.where((mode == 2)[..., None], override, emissive)
     emissive = jnp.where((mode == 0)[..., None], 0.0, emissive)
 
-    mr_tex = sample_bilinear(scene.textures, mats.metal_rough_tex[mat_idx], uv)
-    # glTF convention: G = roughness, B = metallic
-    roughness = mats.roughness[mat_idx] * mr_tex[..., 1]
-    metallic = mats.metallic[mat_idx] * mr_tex[..., 2]
+    if has_textures:
+        mr_tex = sample_bilinear(scene.textures, mats.metal_rough_tex[mat_idx], uv)
+        # glTF convention: G = roughness, B = metallic
+        roughness = g.roughness * mr_tex[..., 1]
+        metallic = g.metallic * mr_tex[..., 2]
 
-    # normal mapping (≙ GPUExtractSurfaceData tangent-frame perturbation)
-    nm_id = mats.normal_tex[mat_idx]
-    nm = sample_bilinear(scene.textures, nm_id, uv)[..., :3] * 2.0 - 1.0
-    bitan = jnp.cross(normal, tangent) * handed[..., None]
-    mapped = vm.normalize(
-        nm[..., 0:1] * tangent + nm[..., 1:2] * bitan + nm[..., 2:3] * normal
-    )
-    normal = jnp.where((nm_id >= 0)[..., None], mapped, normal)
+        # normal mapping (≙ GPUExtractSurfaceData tangent-frame perturbation)
+        nm_id = mats.normal_tex[mat_idx]
+        nm = sample_bilinear(scene.textures, nm_id, uv)[..., :3] * 2.0 - 1.0
+        bitan = jnp.cross(normal, tangent) * handed[..., None]
+        mapped = vm.normalize(
+            nm[..., 0:1] * tangent + nm[..., 1:2] * bitan + nm[..., 2:3] * normal
+        )
+        normal = jnp.where((nm_id >= 0)[..., None], mapped, normal)
+    else:
+        roughness = g.roughness
+        metallic = g.metallic
 
     return SurfaceData(
         position=position,
@@ -116,6 +135,7 @@ def extract_surface_data(
         roughness=roughness,
         alpha=alpha,
         mat_idx=mat_idx,
+        mat_rows=rows,
         tri_idx=hit_tri,
         valid=valid,
         is_emissive=vm.luminance(emissive) > 0.0,

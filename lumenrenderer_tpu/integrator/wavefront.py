@@ -146,6 +146,9 @@ def render_wavefront(
 
     t_min = jnp.asarray(RAY_EPS, f32)
     t_max = camera.t_max
+    # dense per-light radiance (differentiable), once per frame — turns the
+    # per-ray light-data access into a single packed gather
+    light_rad_all = nee_mod.all_light_radiance(scene)
 
     for depth in range(cfg.max_depth):
         dkey = jax.random.fold_in(key, depth)
@@ -248,7 +251,7 @@ def render_wavefront(
         elif do_nee:
             nkey = jax.random.fold_in(dkey, 1)
             u3 = jax.random.uniform(nkey, (n, 3))
-            ls = nee_mod.sample_light(scene, u3, sd.position)
+            ls = nee_mod.sample_light(scene, u3, sd.position, light_rad_all)
             cos_s = vm.dot(sd.normal, ls.wi)
             f_val, bsdf_pdf = _bsdf_eval(cfg, sd, scene.materials, wo, ls.wi)
             pdf_sa = nee_mod.pdf_solid_angle(ls)

@@ -26,17 +26,19 @@ from . import tonemap
 class Renderer:
     """Progressive wavefront renderer over a static scene.
 
-    accel: "bvh" (LBVH, default) or "brute" (oracle; test scenes only).
+    accel: "tiled" (MXU tiled-stream, default) | "stream" | "sah"/"bvh"
+    (host SAH + lockstep traversal) | "lbvh" (device build) | "brute" (oracle).
     """
 
     def __init__(
         self,
         scene: SceneData,
         config: wavefront.RenderConfig,
-        accel: str = "stream",
+        accel: str = "tiled",
         leaf_size: int = 4,
         cluster_size: int = 64,
         max_pairs_per_ray: int = 24,
+        max_visits: int = 12,
         restir_config=None,
         restir_fn: Optional[Callable] = None,
         donate: bool = True,
@@ -45,9 +47,20 @@ class Renderer:
         self.config = config
         self.accel_kind = accel
         self.frame_stats: Dict[str, float] = {}
-        if accel == "stream":
-            # pair-stream MXU intersector (default): SAH clusters + batched
-            # Moller-Trumbore matmuls; the TPU-fast path
+        if accel == "tiled":
+            # tiled-stream MXU intersector (default): ray-tile x cluster
+            # batched Moller-Trumbore matmuls; the TPU-fast path
+            from ..accel import tiled
+
+            self.bvh = None
+            self.clusters = stream.build_clusters(
+                scene.tri_pos, cluster_size=cluster_size
+            )
+            isect, occl = tiled.tiled_intersectors(
+                self.clusters, max_visits=max_visits
+            )
+        elif accel == "stream":
+            # first-generation pair-stream intersector (kept for comparison)
             self.bvh = None
             self.clusters = stream.build_clusters(
                 scene.tri_pos, cluster_size=cluster_size
@@ -135,9 +148,12 @@ class Renderer:
         t0 = time.perf_counter()
         new_st, aux = self._step(st, camera, self.scene)
         jax.block_until_ready(new_st.accum)
+        # NOTE: no device->host reads here — scalar D2H over a remote
+        # tunnel can cost more than the frame itself
+        self._frames_done = getattr(self, "_frames_done", 0) + 1
         self.frame_stats = {
             "Total Frame Time": (time.perf_counter() - t0) * 1e3,
-            "Frame": int(new_st.frame_index),
+            "Frame": self._frames_done,
         }
         return new_st, aux
 

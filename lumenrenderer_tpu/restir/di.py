@@ -139,19 +139,21 @@ def fill_light_bags(cdf: jnp.ndarray, cfg: RestirConfig, key) -> jnp.ndarray:
 # target pdf
 # ---------------------------------------------------------------------------
 
-def _target_phat(scene, sd, light_idx, bary, detach_radiance=True):
+def _target_phat(scene, sd, light_idx, bary, rad_all=None, detach_radiance=True):
     """Unshadowed target p-hat in AREA measure at the pixel's surface:
     luminance(albedo/pi * L * cos_s * cos_l / d^2). ≙ the `Resample`
     re-evaluation (`ReSTIRKernels.cu:1259-1325`), with a Lambertian f
-    approximation for the resampling target (full BSDF still shades)."""
+    approximation for the resampling target (full BSDF still shades).
+    rad_all: optional dense (L,3) radiance table (one gather instead of 4)."""
     lights = scene.lights
     li = jnp.maximum(light_idx, 0)
+    prow = lights.packed[li]                       # ONE gather
     p = (
-        lights.p0[li]
-        + bary[..., 0:1] * lights.e1[li]
-        + bary[..., 1:2] * lights.e2[li]
+        prow[..., 0:3]
+        + bary[..., 0:1] * prow[..., 3:6]
+        + bary[..., 1:2] * prow[..., 6:9]
     )
-    rad = scene.light_radiance(li)
+    rad = rad_all[li] if rad_all is not None else scene.light_radiance(li)
     if detach_radiance:
         rad = jax.lax.stop_gradient(rad)
     to_l = p - sd.position[..., None, :] if p.ndim == 3 else p - sd.position
@@ -161,7 +163,7 @@ def _target_phat(scene, sd, light_idx, bary, detach_radiance=True):
         cos_s = jnp.maximum(vm.dot(sd.normal[..., None, :], wi), 0.0)
     else:
         cos_s = jnp.maximum(vm.dot(sd.normal, wi), 0.0)
-    cos_l = jnp.maximum(vm.dot(lights.normal[li], -wi), 0.0)
+    cos_l = jnp.maximum(vm.dot(prow[..., 9:12], -wi), 0.0)
     albedo_lum = vm.luminance(sd.base_color) / jnp.pi
     if p.ndim == 3:
         albedo_lum = albedo_lum[..., None]
@@ -198,7 +200,7 @@ def ris_primary(scene, sd, bags, bag_pdf, cfg: RestirConfig, width, key):
     b2 = cand_bary_sqrt[..., 1] * su
     bary = jnp.stack([b1, b2], axis=-1)                  # (N,C,2) e1/e2 coords
 
-    area = scene.lights.area[cand_light]
+    area = scene.lights.packed[cand_light][..., 12]
     p_cand = cand_pdf_sel / jnp.maximum(area, 1e-12)     # area-measure pdf
     phat, _, _ = _target_phat(scene, sd, cand_light, bary)
     w = jnp.where(p_cand > 0, phat / jnp.maximum(p_cand, 1e-20), 0.0)  # (N,C)
@@ -382,12 +384,13 @@ def shade(scene, sd, wo, res: Reservoir, eval_f, hit_mask):
     Radiance stays differentiable; W is sampling machinery (detached)."""
     lights = scene.lights
     li = jnp.maximum(res.light_idx, 0)
-    p = lights.p0[li] + res.bary[:, 0:1] * lights.e1[li] + res.bary[:, 1:2] * lights.e2[li]
+    prow = lights.packed[li]
+    p = prow[:, 0:3] + res.bary[:, 0:1] * prow[:, 3:6] + res.bary[:, 1:2] * prow[:, 6:9]
     to_l = p - sd.position
     dist = jnp.maximum(vm.length(to_l), 1e-5)
     wi = to_l / dist[:, None]
     cos_s = jnp.maximum(vm.dot(sd.normal, wi), 0.0)
-    cos_l = jnp.maximum(vm.dot(lights.normal[li], -wi), 0.0)
+    cos_l = jnp.maximum(vm.dot(prow[:, 9:12], -wi), 0.0)
     g = cos_s * cos_l / (dist * dist)
     rad = scene.light_radiance(li)
     f_val, _ = eval_f(sd, wo, wi)

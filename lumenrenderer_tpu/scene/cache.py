@@ -66,6 +66,7 @@ def _structure(has_volumes: bool) -> SceneData:
             tri_idx=jnp.zeros(1, jnp.int32), mat_idx=jnp.zeros(1, jnp.int32),
             inst_idx=jnp.zeros(1, jnp.int32), count=jnp.zeros((), jnp.int32),
             tri_to_light=jnp.zeros(1, jnp.int32),
+            packed=jnp.zeros((1, 13)),
         ),
         textures=TextureAtlas(
             texels=jnp.zeros((1, 4)), offset=jnp.zeros(1, jnp.int32),

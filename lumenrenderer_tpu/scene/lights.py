@@ -40,6 +40,7 @@ class TriangleLights:
     inst_idx: jnp.ndarray  # (L,) instance id (for emission override)
     count: jnp.ndarray     # () int32 number of valid lights
     tri_to_light: jnp.ndarray  # (T,) int32 inverse map triangle -> light row, -1 if none
+    packed: jnp.ndarray    # (L,13) [p0,e1,e2,normal,area] — ONE gather per sample
 
     @property
     def capacity(self) -> int:
@@ -87,6 +88,7 @@ def extract_lights(
             tri_idx=jnp.zeros(cap, jnp.int32), mat_idx=jnp.zeros(cap, jnp.int32),
             inst_idx=jnp.zeros(cap, jnp.int32), count=jnp.asarray(0, jnp.int32),
             tri_to_light=jnp.full((max(t, 1),), -1, jnp.int32),
+            packed=jnp.zeros((cap, 13), jnp.float32),
         )
     mat_em = materials_emissive[geom.tri_mat]  # (T,3)
     mode = geom.inst_emission_mode[geom.tri_inst]  # (T,)
@@ -129,4 +131,14 @@ def extract_lights(
         inst_idx=pad(geom.tri_inst[sel], ()),
         count=jnp.asarray(n, jnp.int32),
         tri_to_light=jnp.asarray(tri_to_light),
+        packed=jnp.concatenate(
+            [
+                pad(p0.astype(np.float32), (3,)),
+                pad(e1.astype(np.float32), (3,)),
+                pad(e2.astype(np.float32), (3,)),
+                pad(nrm.astype(np.float32), (3,)),
+                pad(area.astype(np.float32), ())[:, None],
+            ],
+            axis=-1,
+        ),
     )

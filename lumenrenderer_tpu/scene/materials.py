@@ -57,6 +57,57 @@ class MaterialTable:
     def count(self) -> int:
         return self.base_color.shape[0]
 
+    def packed(self) -> jnp.ndarray:
+        """All float params concatenated to an (M, 22) matrix so per-ray
+        material access is ONE row gather instead of ~15 (XLA:TPU gathers
+        have a high fixed per-op cost). Differentiable: concat/slice carry
+        gradients back to the individual parameter leaves."""
+        return jnp.concatenate(
+            [
+                self.base_color,                     # 0:3
+                self.emissive,                       # 3:6
+                self.metallic[:, None],              # 6
+                self.roughness[:, None],             # 7
+                self.subsurface[:, None],            # 8
+                self.specular[:, None],              # 9
+                self.spec_tint[:, None],             # 10
+                self.anisotropic[:, None],           # 11
+                self.sheen[:, None],                 # 12
+                self.sheen_tint[:, None],            # 13
+                self.clearcoat[:, None],             # 14
+                self.clearcoat_gloss[:, None],       # 15
+                self.spec_trans[:, None],            # 16
+                self.ior[:, None],                   # 17
+                self.transmittance,                  # 18:21
+            ],
+            axis=-1,
+        )
+
+
+class GatheredMaterial:
+    """Per-ray view over packed material rows (R, 22): column slices."""
+
+    __slots__ = ("rows",)
+
+    def __init__(self, rows: jnp.ndarray):
+        self.rows = rows
+
+    base_color = property(lambda s: s.rows[..., 0:3])
+    emissive = property(lambda s: s.rows[..., 3:6])
+    metallic = property(lambda s: s.rows[..., 6])
+    roughness = property(lambda s: s.rows[..., 7])
+    subsurface = property(lambda s: s.rows[..., 8])
+    specular = property(lambda s: s.rows[..., 9])
+    spec_tint = property(lambda s: s.rows[..., 10])
+    anisotropic = property(lambda s: s.rows[..., 11])
+    sheen = property(lambda s: s.rows[..., 12])
+    sheen_tint = property(lambda s: s.rows[..., 13])
+    clearcoat = property(lambda s: s.rows[..., 14])
+    clearcoat_gloss = property(lambda s: s.rows[..., 15])
+    spec_trans = property(lambda s: s.rows[..., 16])
+    ior = property(lambda s: s.rows[..., 17])
+    transmittance = property(lambda s: s.rows[..., 18:21])
+
 
 @dataclasses.dataclass
 class MaterialSpec:

@@ -84,7 +84,7 @@ def march_single_volume(
         if light_samples:
             lkey = jax.random.fold_in(key, 100 + i)
             u3 = jax.random.uniform(lkey, (r, 3))
-            ls = nee_mod.sample_light(scene, u3, pos)
+            ls = nee_mod.sample_light(scene, u3, pos)  # (rad gather per step; volumes rarely dominate)
             pdf_sa = nee_mod.pdf_solid_angle(ls)
             occluded = occlude_fn(
                 pos, ls.wi, jnp.asarray(1e-3, jnp.float32), ls.dist - 2e-3

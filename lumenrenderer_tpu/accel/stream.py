@@ -90,14 +90,15 @@ def build_clusters(tri_pos, cluster_size: int = 64) -> ClusterSet:
         e2 = tp[np.maximum(ids, 0), 2] - p0
         n = np.cross(e1, e2)
         vz = valid[:, None]
-        cols = np.arange(k) * 4
-        feat[ci, 3:6, cols + 0] = np.where(vz, -n, 0.0)
-        feat[ci, 0:3, cols + 1] = np.where(vz, e2, 0.0)
-        feat[ci, 3:6, cols + 1] = np.where(vz, np.cross(p0, e2), 0.0)
-        feat[ci, 0:3, cols + 2] = np.where(vz, -e1, 0.0)
-        feat[ci, 3:6, cols + 2] = np.where(vz, -np.cross(p0, e1), 0.0)
-        feat[ci, 6:9, cols + 3] = np.where(vz, n, 0.0)
-        feat[ci, 9, cols + 3] = np.where(valid, -np.einsum("kj,kj->k", p0, n), 0.0)
+        # blocked layout: columns [det*K | u*K | v*K | t*K] so each quantity
+        # is a CONTIGUOUS lane slice of the matmul result (TPU-friendly)
+        feat[ci, 3:6, 0 * k : 1 * k] = np.where(vz, -n, 0.0).T
+        feat[ci, 0:3, 1 * k : 2 * k] = np.where(vz, e2, 0.0).T
+        feat[ci, 3:6, 1 * k : 2 * k] = np.where(vz, np.cross(p0, e2), 0.0).T
+        feat[ci, 0:3, 2 * k : 3 * k] = np.where(vz, -e1, 0.0).T
+        feat[ci, 3:6, 2 * k : 3 * k] = np.where(vz, -np.cross(p0, e1), 0.0).T
+        feat[ci, 6:9, 3 * k : 4 * k] = np.where(vz, n, 0.0).T
+        feat[ci, 9, 3 * k : 4 * k] = np.where(valid, -np.einsum("kj,kj->k", p0, n), 0.0)
 
     return ClusterSet(
         aabb_lo=jnp.asarray(lo, jnp.float32),
@@ -178,13 +179,12 @@ def _intersect_tiles(
     res = jnp.einsum(
         "tpf,tfk->tpk", f, feats, preferred_element_type=jnp.float32
     )
-    res = res.reshape(tiles, PAIR_TILE, k, 4)
-    det = res[..., 0]
+    det = res[..., 0 * k : 1 * k]
     ok = jnp.abs(det) > 1e-12
     inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
-    u = res[..., 1] * inv
-    v = res[..., 2] * inv
-    t = res[..., 3] * inv
+    u = res[..., 1 * k : 2 * k] * inv
+    v = res[..., 2 * k : 3 * k] * inv
+    t = res[..., 3 * k : 4 * k] * inv
 
     tid = cs.tri_id[tc]                         # (T,K)
     tmin_p = t_min[prc][..., None]

@@ -47,9 +47,11 @@ def _pad(a, r_pad, fill):
     return jnp.pad(a, ((0, r_pad),) + ((0, 0),) * (a.ndim - 1), constant_values=fill)
 
 
-@partial(jax.jit, static_argnames=("max_visits", "closest"))
+@partial(jax.jit, static_argnames=("max_visits", "closest", "candidate_dtype",
+                                   "use_pallas"))
 def _query(cs: ClusterSet, origins, dirs, t_min, t_max,
-           max_visits: int, closest: bool):
+           max_visits: int, closest: bool, candidate_dtype: str = "float32",
+           use_pallas: bool = False):
     r = origins.shape[0]
     t_min_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
@@ -98,15 +100,26 @@ def _query(cs: ClusterSet, origins, dirs, t_min, t_max,
         sel, ok_k, step_i = inputs                          # (T,), (T,), ()
         feats = cs.tri_feat[sel]                            # (T,10,4K)
         tid = cs.tri_id[sel]                                # (T,K)
-        res = jnp.einsum(
-            "trf,tfc->trc", rf, feats, preferred_element_type=jnp.float32
-        ).reshape(tiles, RAY_TILE, k, 4)
-        det = res[..., 0]
+        if candidate_dtype == "bfloat16":
+            # candidate pass in bf16 (4x MXU rate); the winner is re-derived
+            # exactly in f32 afterwards, so only near-edge candidate
+            # classification is approximate
+            res = jnp.einsum(
+                "trf,tfc->trc",
+                rf.astype(jnp.bfloat16),
+                feats.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            res = jnp.einsum(
+                "trf,tfc->trc", rf, feats, preferred_element_type=jnp.float32
+            )
+        det = res[..., 0 * k : 1 * k]
         okd = jnp.abs(det) > 1e-12
         inv = jnp.where(okd, 1.0 / jnp.where(okd, det, 1.0), 0.0)
-        u = res[..., 1] * inv
-        v = res[..., 2] * inv
-        t = res[..., 3] * inv
+        u = res[..., 1 * k : 2 * k] * inv
+        v = res[..., 2 * k : 3 * k] * inv
+        t = res[..., 3 * k : 4 * k] * inv
         hit = (
             okd
             & (u >= 0.0)
@@ -127,13 +140,28 @@ def _query(cs: ClusterSet, origins, dirs, t_min, t_max,
         occ = occ | jnp.any(hit, axis=-1)
         return (best_key, occ), None
 
-    init = (
-        jnp.full((tiles, RAY_TILE), KEY_MISS, jnp.int32),
-        jnp.zeros((tiles, RAY_TILE), bool),
-    )
-    (best_key, occ), _ = jax.lax.scan(
-        step, init, (order.T, valid_k.T, step_ids)
-    )
+    if use_pallas:
+        # fused Pallas kernel: matmul+decode+key-min without HBM round-trips
+        import jax as _jax
+
+        from ..ops.pallas import intersect as pk
+
+        best_key = pk.scan_keys(
+            rf, tmin_t, tmax_t, cs.tri_feat,
+            order.reshape(-1).astype(jnp.int32),
+            valid_k.reshape(-1).astype(jnp.int32),
+            k=k, mv=mv, k_bits=k_bits, low_bits=low_bits,
+            interpret=_jax.default_backend() != "tpu",
+        )
+        occ = best_key < KEY_MISS
+    else:
+        init = (
+            jnp.full((tiles, RAY_TILE), KEY_MISS, jnp.int32),
+            jnp.zeros((tiles, RAY_TILE), bool),
+        )
+        (best_key, occ), _ = jax.lax.scan(
+            step, init, (order.T, valid_k.T, step_ids)
+        )
     flat = lambda a: a.reshape(-1)[:r]
     occ_f = flat(occ)
     if not closest:
@@ -155,7 +183,7 @@ def _query(cs: ClusterSet, origins, dirs, t_min, t_max,
     cluster = order[tile_idx, step_win]                     # (R,)
     tri_g = cs.tri_id[jnp.maximum(cluster, 0), k_win]
     # coefficient columns of the winning triangle — ONE (R,10,4) gather
-    cols = cs.tri_feat.reshape(c, 10, k, 4)[jnp.maximum(cluster, 0), :, k_win]
+    cols = cs.tri_feat.reshape(c, 10, 4, k)[jnp.maximum(cluster, 0), :, :, k_win]
     rf_r = ray_features(origins, dirs)
     res4 = jnp.einsum("rf,rfc->rc", rf_r, cols, preferred_element_type=jnp.float32)
     det = res4[:, 0]
@@ -176,21 +204,31 @@ def _query(cs: ClusterSet, origins, dirs, t_min, t_max,
 
 
 def intersect_closest(cs: ClusterSet, origins, dirs, t_min, t_max,
-                      max_visits: int = 12):
-    return _query(cs, origins, dirs, t_min, t_max, max_visits, True)
+                      max_visits: int = 12, candidate_dtype: str = "float32",
+                      use_pallas: bool = False):
+    return _query(cs, origins, dirs, t_min, t_max, max_visits, True,
+                  candidate_dtype, use_pallas)
 
 
 def intersect_any(cs: ClusterSet, origins, dirs, t_min, t_max,
-                  max_visits: int = 12):
-    return _query(cs, origins, dirs, t_min, t_max, max_visits, False)["occluded"]
+                  max_visits: int = 12, candidate_dtype: str = "float32",
+                  use_pallas: bool = False):
+    return _query(cs, origins, dirs, t_min, t_max, max_visits, False,
+                  candidate_dtype, use_pallas)["occluded"]
 
 
-def tiled_intersectors(cs: ClusterSet, max_visits: int = 12) -> Tuple:
+def tiled_intersectors(cs: ClusterSet, max_visits: int = 12,
+                       candidate_dtype: str = "float32",
+                       use_pallas: bool = False) -> Tuple:
     def isect(o, d, tn, tx):
-        res = intersect_closest(cs, o, d, tn, tx, max_visits=max_visits)
+        res = intersect_closest(cs, o, d, tn, tx, max_visits=max_visits,
+                                candidate_dtype=candidate_dtype,
+                                use_pallas=use_pallas)
         return {q: res[q] for q in ("t", "tri", "u", "v")}
 
     def occl(o, d, tn, tx):
-        return intersect_any(cs, o, d, tn, tx, max_visits=max_visits)
+        return intersect_any(cs, o, d, tn, tx, max_visits=max_visits,
+                             candidate_dtype=candidate_dtype,
+                             use_pallas=use_pallas)
 
     return isect, occl

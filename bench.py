@@ -31,17 +31,25 @@ def main() -> int:
     frames = int(os.environ.get("BENCH_FRAMES", 8))
     boxes = int(os.environ.get("BENCH_BOXES", 600))
     accel = os.environ.get("BENCH_ACCEL", "tiled")
+    scene_kind = os.environ.get("BENCH_SCENE", "interior")  # interior|mega|restir
 
     from lumenrenderer_tpu.integrator.wavefront import RenderConfig
     from lumenrenderer_tpu.render.renderer import Renderer
     from lumenrenderer_tpu.scene import presets
 
-    scene, camf = presets.interior_scene(n_boxes=boxes, n_lights=64)
+    use_restir = scene_kind == "restir"
+    if scene_kind == "mega":
+        scene, camf = presets.mega_scene(n_tris=int(os.environ.get("BENCH_TRIS", 1_000_000)))
+    elif use_restir:
+        scene, camf = presets.interior_scene(n_boxes=boxes, n_lights=256)
+    else:
+        scene, camf = presets.interior_scene(n_boxes=boxes, n_lights=64)
     sc, cam = scene.build(), camf(w / h)
     cfg = RenderConfig(
-        width=w, height=h, max_depth=depth, bsdf="disney", light_strategy="mis"
+        width=w, height=h, max_depth=depth, bsdf="disney",
+        light_strategy="nee" if use_restir else "mis", use_restir=use_restir,
     )
-    r = Renderer(sc, cfg, accel=accel)
+    r = Renderer(sc, cfg, accel=accel, cluster_size=128, max_visits=16)
     st = r.init_state(0)
 
     # warmup / compile
@@ -55,7 +63,10 @@ def main() -> int:
     rays_per_s = w * h / dt  # primary paths (1spp) per second
     baseline_ms = 1000.0 / 30.0
     result = {
-        "metric": f"ms/frame {w}x{h}@1spp depth{depth} ({sc.num_triangles} tris, disney+MIS, {accel})",
+        "metric": (
+            f"ms/frame {w}x{h}@1spp depth{depth} ({sc.num_triangles} tris, "
+            f"disney+{'ReSTIR' if use_restir else 'MIS'}, {accel})"
+        ),
         "value": round(ms, 2),
         "unit": "ms",
         "vs_baseline": round(baseline_ms / ms, 3),

@@ -23,12 +23,18 @@ _NBINS = 16
 
 
 def build_sah_arrays(tri_pos: np.ndarray, leaf_size: int = 4):
-    """Pure-numpy binned SAH. Returns (node_lo, node_hi, child0, child1,
-    order (S,), max_depth) where order holds original tri ids per leaf slot
-    (-1 padding) and child0<0 encodes leaf index."""
-    t = tri_pos.shape[0]
-    lo_t = tri_pos.min(axis=1)
-    hi_t = tri_pos.max(axis=1)
+    """Pure-numpy binned SAH over triangles. Returns (node_lo, node_hi,
+    child0, child1, order (S,), max_depth) where order holds original tri
+    ids per leaf slot (-1 padding) and child0<0 encodes leaf index."""
+    return build_sah_boxes(
+        tri_pos.min(axis=1), tri_pos.max(axis=1), leaf_size
+    )
+
+
+def build_sah_boxes(lo_t: np.ndarray, hi_t: np.ndarray, leaf_size: int = 4):
+    """Binned SAH over arbitrary AABBs (used for the triangle BVH and for
+    the second-level tree over pair-stream clusters)."""
+    t = lo_t.shape[0]
     cent = 0.5 * (lo_t + hi_t)
 
     node_lo, node_hi, child0, child1 = [], [], [], []

@@ -39,13 +39,21 @@ PAIR_TILE = 128
 
 @flax.struct.dataclass
 class ClusterSet:
-    """Device cluster table for the pair-stream intersector."""
+    """Device cluster table for the pair-stream intersector, plus a small
+    second-level SAH tree over cluster AABBs (the TLAS analogue) used by
+    the hierarchical tile-culling path for large scenes."""
 
     aabb_lo: jnp.ndarray    # (C,3)
     aabb_hi: jnp.ndarray    # (C,3)
-    tri_feat: jnp.ndarray   # (C,10,4K) MT coefficient columns [det,u,v,t]*K
+    tri_feat: jnp.ndarray   # (C,10,4K) MT coefficient columns [det|u|v|t] blocks
     tri_id: jnp.ndarray     # (C,K) original tri ids (-1 pad)
+    tree_lo: jnp.ndarray    # (Nn,3) cluster-tree node AABBs
+    tree_hi: jnp.ndarray    # (Nn,3)
+    tree_child0: jnp.ndarray  # (Nn,) <0 => leaf -(i+1)
+    tree_child1: jnp.ndarray  # (Nn,)
+    tree_leaf_cluster: jnp.ndarray  # (Nl,) leaf -> cluster id
     tris_per_cluster: int = flax.struct.field(pytree_node=False)
+    tree_depth: int = flax.struct.field(pytree_node=False)
 
     @property
     def num_clusters(self) -> int:
@@ -64,48 +72,68 @@ def build_clusters(tri_pos, cluster_size: int = 64) -> ClusterSet:
     """Partition triangles into SAH clusters and precompute MT features
     (global frame; f32 is ample at rendering precision for scene extents up
     to ~1e3 — cite: RAY_EPS=1e-3 working precision)."""
-    from .sah import build_sah_arrays
+    tp32 = np.asarray(tri_pos, np.float32)
+    try:
+        from ..native import bvh_native
 
-    tp = np.asarray(tri_pos, np.float64)
-    _, _, child0, _, order, _ = build_sah_arrays(
-        tp.astype(np.float32), leaf_size=cluster_size
-    )
+        _, _, child0, _, order, _ = bvh_native.build_sah(tp32, cluster_size)
+    except Exception:
+        from .sah import build_sah_arrays
+
+        _, _, child0, _, order, _ = build_sah_arrays(tp32, leaf_size=cluster_size)
+    tp = tp32.astype(np.float64)
     k = cluster_size
     c = order.shape[0] // k
     tri_id = order.reshape(c, k)
 
-    lo = np.full((c, 3), 1e30)
-    hi = np.full((c, 3), -1e30)
+    # fully vectorized feature assembly (scales to millions of triangles)
+    ids = tri_id                                   # (C,K)
+    valid = ids >= 0                               # (C,K)
+    gat = np.maximum(ids, 0)
+    tri3 = tp[gat]                                 # (C,K,3,3)
+    tlo = np.where(valid[..., None], tri3.min(axis=2), np.inf)
+    thi = np.where(valid[..., None], tri3.max(axis=2), -np.inf)
+    lo = tlo.min(axis=1)
+    hi = thi.max(axis=1)
+    lo = np.where(np.isfinite(lo), lo, 1e30)
+    hi = np.where(np.isfinite(hi), hi, -1e30)
+    p0 = tri3[:, :, 0]                             # (C,K,3)
+    e1 = tri3[:, :, 1] - p0
+    e2 = tri3[:, :, 2] - p0
+    n = np.cross(e1, e2)
+    vz = valid[..., None]
+    z3 = lambda a: np.where(vz, a, 0.0).transpose(0, 2, 1)  # (C,3,K)
     feat = np.zeros((c, 10, 4 * k), np.float64)
-    valid_any = tri_id >= 0
-    for ci in range(c):
-        ids = tri_id[ci]
-        valid = ids >= 0
-        if valid.any():
-            pts = tp[ids[valid]].reshape(-1, 3)
-            lo[ci] = pts.min(0)
-            hi[ci] = pts.max(0)
-        p0 = tp[np.maximum(ids, 0), 0]
-        e1 = tp[np.maximum(ids, 0), 1] - p0
-        e2 = tp[np.maximum(ids, 0), 2] - p0
-        n = np.cross(e1, e2)
-        vz = valid[:, None]
-        # blocked layout: columns [det*K | u*K | v*K | t*K] so each quantity
-        # is a CONTIGUOUS lane slice of the matmul result (TPU-friendly)
-        feat[ci, 3:6, 0 * k : 1 * k] = np.where(vz, -n, 0.0).T
-        feat[ci, 0:3, 1 * k : 2 * k] = np.where(vz, e2, 0.0).T
-        feat[ci, 3:6, 1 * k : 2 * k] = np.where(vz, np.cross(p0, e2), 0.0).T
-        feat[ci, 0:3, 2 * k : 3 * k] = np.where(vz, -e1, 0.0).T
-        feat[ci, 3:6, 2 * k : 3 * k] = np.where(vz, -np.cross(p0, e1), 0.0).T
-        feat[ci, 6:9, 3 * k : 4 * k] = np.where(vz, n, 0.0).T
-        feat[ci, 9, 3 * k : 4 * k] = np.where(valid, -np.einsum("kj,kj->k", p0, n), 0.0)
+    # blocked layout: columns [det*K | u*K | v*K | t*K] so each quantity is a
+    # CONTIGUOUS lane slice of the matmul result (TPU-friendly)
+    feat[:, 3:6, 0 * k : 1 * k] = z3(-n)
+    feat[:, 0:3, 1 * k : 2 * k] = z3(e2)
+    feat[:, 3:6, 1 * k : 2 * k] = z3(np.cross(p0, e2))
+    feat[:, 0:3, 2 * k : 3 * k] = z3(-e1)
+    feat[:, 3:6, 2 * k : 3 * k] = z3(-np.cross(p0, e1))
+    feat[:, 6:9, 3 * k : 4 * k] = z3(n)
+    feat[:, 9, 3 * k : 4 * k] = np.where(valid, -np.einsum("ckj,ckj->ck", p0, n), 0.0)
 
+    # second-level SAH tree over cluster boxes (leaf = 1 cluster)
+    from .sah import build_sah_boxes
+
+    tlo, thi, tc0, tc1, torder, tdepth = build_sah_boxes(
+        np.where(np.isfinite(lo) & (np.abs(lo) < 1e29), lo, 0.0),
+        np.where(np.isfinite(hi) & (np.abs(hi) < 1e29), hi, 0.0),
+        leaf_size=1,
+    )
     return ClusterSet(
         aabb_lo=jnp.asarray(lo, jnp.float32),
         aabb_hi=jnp.asarray(hi, jnp.float32),
         tri_feat=jnp.asarray(feat, jnp.float32),
         tri_id=jnp.asarray(tri_id.astype(np.int32)),
+        tree_lo=jnp.asarray(tlo, jnp.float32),
+        tree_hi=jnp.asarray(thi, jnp.float32),
+        tree_child0=jnp.asarray(tc0),
+        tree_child1=jnp.asarray(tc1),
+        tree_leaf_cluster=jnp.asarray(torder.astype(np.int32)),
         tris_per_cluster=k,
+        tree_depth=tdepth,
     )
 
 

@@ -47,11 +47,117 @@ def _pad(a, r_pad, fill):
     return jnp.pad(a, ((0, r_pad),) + ((0, 0),) * (a.ndim - 1), constant_values=fill)
 
 
+# ---------------------------------------------------------------------------
+# hierarchical tile culling (large scenes): conservative interval-ray packet
+# traversal of the second-level cluster tree — replaces the dense (R,C) mask
+# whose cost is O(R*C). Packet/interval traversal is the classic CPU-SIMD
+# idea (Wald et al.) re-expressed per 128-ray tile; soundness = no false
+# misses (axis with 0 in the direction interval imposes no constraint).
+# ---------------------------------------------------------------------------
+
+def _tile_tree_visits(cs: ClusterSet, o, d, tn, tx, tiles: int, mv: int):
+    """Returns (order (T,mv) cluster ids, valid (T,mv), overflow)."""
+    ot = o.reshape(tiles, RAY_TILE, 3)
+    dt = d.reshape(tiles, RAY_TILE, 3)
+    alive = (tx > tn).reshape(tiles, RAY_TILE)
+    big = jnp.float32(3e37)
+    olo = jnp.min(jnp.where(alive[..., None], ot, big), axis=1)
+    ohi = jnp.max(jnp.where(alive[..., None], ot, -big), axis=1)
+    dlo = jnp.min(jnp.where(alive[..., None], dt, big), axis=1)
+    dhi = jnp.max(jnp.where(alive[..., None], dt, -big), axis=1)
+    t_cap = jnp.max(jnp.where(alive, tx.reshape(tiles, RAY_TILE), -big), axis=1)
+    any_alive = jnp.any(alive, axis=1)
+
+    def possible_hit(blo, bhi, olo1, ohi1, dlo1, dhi1, cap):
+        # per-axis candidate t products (conservative interval bounds)
+        zero_in_d = (dlo1 <= 0.0) & (dhi1 >= 0.0)
+        inv_a = 1.0 / jnp.where(jnp.abs(dlo1) > 1e-20, dlo1, 1e-20)
+        inv_b = 1.0 / jnp.where(jnp.abs(dhi1) > 1e-20, dhi1, 1e-20)
+        n1 = blo - ohi1
+        n2 = blo - olo1
+        n3 = bhi - ohi1
+        n4 = bhi - olo1
+        cands = jnp.stack(
+            [n1 * inv_a, n1 * inv_b, n2 * inv_a, n2 * inv_b,
+             n3 * inv_a, n3 * inv_b, n4 * inv_a, n4 * inv_b], axis=0
+        )  # (8, 3)
+        ent_lb = jnp.where(zero_in_d, -jnp.inf, jnp.min(cands, axis=0))
+        exi_ub = jnp.where(zero_in_d, jnp.inf, jnp.max(cands, axis=0))
+        tn_lb = jnp.max(ent_lb)
+        tf_ub = jnp.min(exi_ub)
+        return (tn_lb <= tf_ub) & (tf_ub >= 0.0) & (tn_lb <= cap), jnp.maximum(
+            tn_lb, 0.0
+        )
+
+    max_stack = cs.tree_depth + 2
+
+    def traverse_tile(olo1, ohi1, dlo1, dhi1, cap, ok_tile):
+        stack = jnp.zeros((max_stack,), jnp.int32)
+        root_hit, _ = possible_hit(
+            cs.tree_lo[0], cs.tree_hi[0], olo1, ohi1, dlo1, dhi1, cap
+        )
+        sp = jnp.where(root_hit & ok_tile, 1, 0).astype(jnp.int32)
+        visits = jnp.zeros((mv,), jnp.int32)
+        count = jnp.int32(0)
+
+        def cond(st):
+            sp, _, _, count = st
+            return sp > 0
+
+        def body(st):
+            sp, stack, visits, count = st
+            node = stack[sp - 1]
+            sp = sp - 1
+            c0 = cs.tree_child0[node]
+            c1 = cs.tree_child1[node]
+            is_leaf = c0 < 0
+            # leaf: append cluster (drop when full -> overflow)
+            leaf_idx = jnp.maximum(-c0 - 1, 0)
+            cluster = cs.tree_leaf_cluster[leaf_idx]
+            slot = jnp.minimum(count, mv - 1)
+            visits = jnp.where(
+                is_leaf & (count < mv), visits.at[slot].set(cluster), visits
+            )
+            count = count + is_leaf.astype(jnp.int32)
+            # internal: push children that possibly hit, near-first pop
+            c0i = jnp.maximum(c0, 0)
+            h0, tn0 = possible_hit(
+                cs.tree_lo[c0i], cs.tree_hi[c0i], olo1, ohi1, dlo1, dhi1, cap
+            )
+            h1, tn1 = possible_hit(
+                cs.tree_lo[c1], cs.tree_hi[c1], olo1, ohi1, dlo1, dhi1, cap
+            )
+            h0 = h0 & ~is_leaf
+            h1 = h1 & ~is_leaf
+            swap = tn1 < tn0
+            near = jnp.where(swap, c1, c0i)
+            far = jnp.where(swap, c0i, c1)
+            h_near = jnp.where(swap, h1, h0)
+            h_far = jnp.where(swap, h0, h1)
+            stack = jnp.where(h_far, stack.at[sp].set(far), stack)
+            sp_f = sp + h_far.astype(jnp.int32)
+            stack = jnp.where(h_near, stack.at[sp_f].set(near), stack)
+            sp = sp_f + h_near.astype(jnp.int32)
+            return sp, stack, visits, count
+
+        _, _, visits, count = jax.lax.while_loop(
+            cond, body, (sp, stack, visits, count)
+        )
+        return visits, count
+
+    visits, counts = jax.vmap(traverse_tile)(olo, ohi, dlo, dhi, t_cap, any_alive)
+    valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (tiles, mv), 1) < counts[:, None]
+    )
+    overflow = jnp.any(counts > mv)
+    return visits, valid, overflow
+
+
 @partial(jax.jit, static_argnames=("max_visits", "closest", "candidate_dtype",
-                                   "use_pallas"))
+                                   "use_pallas", "culling"))
 def _query(cs: ClusterSet, origins, dirs, t_min, t_max,
            max_visits: int, closest: bool, candidate_dtype: str = "float32",
-           use_pallas: bool = False):
+           use_pallas: bool = False, culling: str = "auto"):
     r = origins.shape[0]
     t_min_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
@@ -66,14 +172,22 @@ def _query(cs: ClusterSet, origins, dirs, t_min, t_max,
     c = cs.num_clusters
     mv = min(max_visits, c)
 
-    hit_rc, tnear_rc = _ray_cluster_window(cs, o, d, tn, tx)
-    # per ray-tile union
-    hit_tc = jnp.any(hit_rc.reshape(tiles, RAY_TILE, c), axis=1)       # (T,C)
-    tnear_tc = jnp.min(tnear_rc.reshape(tiles, RAY_TILE, c), axis=1)   # (T,C)
-    tnear_tc = jnp.where(hit_tc, tnear_tc, jnp.inf)
-    order = jnp.argsort(tnear_tc, axis=1)[:, :mv]                      # (T,mv)
-    valid_k = jnp.take_along_axis(hit_tc, order, axis=1)               # (T,mv)
-    overflow = jnp.any(jnp.sum(hit_tc, axis=1) > mv)
+    if culling == "auto":
+        culling = "dense" if c <= 512 else "tree"
+    if culling == "dense":
+        # O(R*C) dense slab test, exact per-ray union — best for small C
+        hit_rc, tnear_rc = _ray_cluster_window(cs, o, d, tn, tx)
+        hit_tc = jnp.any(hit_rc.reshape(tiles, RAY_TILE, c), axis=1)      # (T,C)
+        tnear_tc = jnp.min(tnear_rc.reshape(tiles, RAY_TILE, c), axis=1)  # (T,C)
+        tnear_tc = jnp.where(hit_tc, tnear_tc, jnp.inf)
+        order = jnp.argsort(tnear_tc, axis=1)[:, :mv]                     # (T,mv)
+        valid_k = jnp.take_along_axis(hit_tc, order, axis=1)              # (T,mv)
+        overflow = jnp.any(jnp.sum(hit_tc, axis=1) > mv)
+    else:
+        # O(T * log C) conservative packet traversal of the cluster tree
+        order, valid_k, overflow = _tile_tree_visits(
+            cs, o, d, tn, tx, tiles, mv
+        )
 
     rf = ray_features(o, d).reshape(tiles, RAY_TILE, 10)
     tmin_t = tn.reshape(tiles, RAY_TILE)
@@ -205,30 +319,30 @@ def _query(cs: ClusterSet, origins, dirs, t_min, t_max,
 
 def intersect_closest(cs: ClusterSet, origins, dirs, t_min, t_max,
                       max_visits: int = 12, candidate_dtype: str = "float32",
-                      use_pallas: bool = False):
+                      use_pallas: bool = False, culling: str = "auto"):
     return _query(cs, origins, dirs, t_min, t_max, max_visits, True,
-                  candidate_dtype, use_pallas)
+                  candidate_dtype, use_pallas, culling)
 
 
 def intersect_any(cs: ClusterSet, origins, dirs, t_min, t_max,
                   max_visits: int = 12, candidate_dtype: str = "float32",
-                  use_pallas: bool = False):
+                  use_pallas: bool = False, culling: str = "auto"):
     return _query(cs, origins, dirs, t_min, t_max, max_visits, False,
-                  candidate_dtype, use_pallas)["occluded"]
+                  candidate_dtype, use_pallas, culling)["occluded"]
 
 
 def tiled_intersectors(cs: ClusterSet, max_visits: int = 12,
                        candidate_dtype: str = "float32",
-                       use_pallas: bool = False) -> Tuple:
+                       use_pallas: bool = False, culling: str = "auto") -> Tuple:
     def isect(o, d, tn, tx):
         res = intersect_closest(cs, o, d, tn, tx, max_visits=max_visits,
                                 candidate_dtype=candidate_dtype,
-                                use_pallas=use_pallas)
+                                use_pallas=use_pallas, culling=culling)
         return {q: res[q] for q in ("t", "tri", "u", "v")}
 
     def occl(o, d, tn, tx):
         return intersect_any(cs, o, d, tn, tx, max_visits=max_visits,
                              candidate_dtype=candidate_dtype,
-                             use_pallas=use_pallas)
+                             use_pallas=use_pallas, culling=culling)
 
     return isect, occl

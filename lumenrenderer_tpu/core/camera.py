@@ -93,6 +93,32 @@ class Camera:
         return self.replace(prev_view_proj=prev.view_proj(fov_y_deg, aspect))
 
 
+def block_swizzle_map(width: int, height: int, bw: int = 16, bh: int = 8):
+    """Pixel permutation grouping 16x8 blocks consecutively, so each 128-ray
+    intersector tile is a compact screen block (compact frusta for the
+    hierarchical culling) instead of a thin scanline strip.
+
+    Returns (perm, inv) as numpy int32 arrays: ray slot i handles pixel
+    perm[i]; image[p] = result[inv[p]]. Falls back to identity when the
+    resolution doesn't tile evenly.
+    """
+    import numpy as np
+
+    n = width * height
+    if width % bw or height % bh:
+        ident = np.arange(n, dtype=np.int32)
+        return ident, ident
+    bx = width // bw
+    ys, xs = np.mgrid[0:height, 0:width]
+    block = (ys // bh) * bx + (xs // bw)
+    within = (ys % bh) * bw + (xs % bw)
+    slot = block * (bw * bh) + within          # ray slot for pixel (y,x)
+    inv = slot.reshape(-1).astype(np.int32)    # pixel -> slot
+    perm = np.empty(n, np.int32)
+    perm[inv] = np.arange(n, dtype=np.int32)   # slot -> pixel
+    return perm, inv
+
+
 def generate_primary_rays(
     camera: Camera,
     width: int,
@@ -100,17 +126,22 @@ def generate_primary_rays(
     frame_index: jnp.ndarray,
     key: jax.Array | None = None,
     jitter: str = "halton",
+    pixel_ids: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Generate one primary ray per pixel with sub-pixel jitter.
 
-    Returns (origins (N,3), directions (N,3)) with N = width*height, row-major
-    pixel order. Equivalent of `GeneratePrimaryRay` (`GPUGeneratePrimRay.cu`):
-    Halton(2,3) jitter indexed by frame for progressive accumulation, or
-    uniform random jitter from `key` when jitter == "random".
+    Returns (origins (N,3), directions (N,3)) with N = width*height, in
+    row-major pixel order unless `pixel_ids` (N,) assigns ray slot i to a
+    specific pixel (block swizzling). Equivalent of `GeneratePrimaryRay`
+    (`GPUGeneratePrimRay.cu`): Halton(2,3) jitter indexed by frame for
+    progressive accumulation, or uniform random jitter from `key`.
     """
     n = width * height
-    px = jnp.arange(n, dtype=jnp.int32) % width
-    py = jnp.arange(n, dtype=jnp.int32) // width
+    ids = (
+        jnp.arange(n, dtype=jnp.int32) if pixel_ids is None else pixel_ids
+    )
+    px = ids % width
+    py = ids // width
     if jitter == "halton":
         j = sampling.halton23(jnp.broadcast_to(frame_index.astype(jnp.uint32), (n,)))
     elif jitter == "random" and key is not None:
@@ -135,6 +166,7 @@ def motion_vectors(
     camera: Camera,
     width: int,
     height: int,
+    pixel_ids: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Screen-space motion vectors by reprojection through prev view-proj.
 
@@ -148,8 +180,9 @@ def motion_vectors(
     ndc = clip[:, :2] / jnp.where(jnp.abs(clip[:, 3:4]) > 1e-8, clip[:, 3:4], 1.0)
     prev_px = (ndc[:, 0] * 0.5 + 0.5) * width
     prev_py = (0.5 - ndc[:, 1] * 0.5) * height
-    cur_px = (jnp.arange(n) % width).astype(jnp.float32) + 0.5
-    cur_py = (jnp.arange(n) // width).astype(jnp.float32) + 0.5
+    ids = jnp.arange(n, dtype=jnp.int32) if pixel_ids is None else pixel_ids
+    cur_px = (ids % width).astype(jnp.float32) + 0.5
+    cur_py = (ids // width).astype(jnp.float32) + 0.5
     mv = jnp.stack([prev_px - cur_px, prev_py - cur_py], axis=-1)
     behind = clip[:, 3] <= 0.0
     return jnp.where((valid & ~behind)[:, None], mv, 0.0)

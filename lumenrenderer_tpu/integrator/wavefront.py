@@ -69,6 +69,13 @@ class RenderConfig:
     # wave; depth 1 = primary-only fog, cheaper)
     volume_steps: int = 5
     volume_depths: int = 2
+    # Ray-order block swizzling: 16x8 pixel blocks per 128-ray intersector
+    # tile (compact frusta for hierarchical culling on big scenes). Not
+    # compatible with ReSTIR's pixel-grid neighbour logic yet.
+    swizzle: bool = False
+    # Sort secondary (bounce + shadow) rays by direction octant + origin
+    # Morton cell before intersection (coherent tiles for big scenes)
+    sort_secondary: bool = False
 
     @property
     def num_pixels(self) -> int:
@@ -127,9 +134,16 @@ def render_wavefront(
         )
 
     # ---- primary rays (≙ GeneratePrimaryRays, Halton jitter) ----
+    pid = inv_ids = None
+    if cfg.swizzle:
+        assert not cfg.use_restir, "swizzle+ReSTIR not supported yet"
+        perm, inv = camera_mod.block_swizzle_map(cfg.width, cfg.height)
+        pid = jnp.asarray(perm)
+        inv_ids = jnp.asarray(inv)
     key_j, key = jax.random.split(key)
     ray_o, ray_d = camera_mod.generate_primary_rays(
-        camera, cfg.width, cfg.height, frame_index, key=key_j, jitter=cfg.jitter
+        camera, cfg.width, cfg.height, frame_index, key=key_j,
+        jitter=cfg.jitter, pixel_ids=pid,
     )
     throughput = jnp.ones((n, 3), f32)
     alive = jnp.ones((n,), bool)
@@ -150,11 +164,28 @@ def render_wavefront(
     # per-ray light-data access into a single packed gather
     light_rad_all = nee_mod.all_light_radiance(scene)
 
+    if cfg.sort_secondary:
+        from ..accel import sorting as sorting_mod
+
+        scene_lo = jnp.min(scene.tri_pos.reshape(-1, 3), axis=0)
+        scene_hi = jnp.max(scene.tri_pos.reshape(-1, 3), axis=0)
+        s_isect, s_occl = sorting_mod.sorted_intersectors(
+            intersect_fn, occlude_fn, scene_lo, scene_hi
+        )
+        occlude_fn = s_occl  # shadow rays are always incoherent
+    else:
+        s_isect = intersect_fn
+
     for depth in range(cfg.max_depth):
         dkey = jax.random.fold_in(key, depth)
 
         # ---- intersect (≙ optixLaunch INTERSECTION) ----
-        hits = intersect_fn(ray_o, ray_d, t_min, t_max)
+        # dead lanes get t_max < t_min: the intersector skips them AND
+        # excludes them from tile-frustum bounds (critical for culling)
+        t_max_ray = jnp.where(alive, jnp.broadcast_to(t_max, (n,)), -1.0)
+        hits = (s_isect if depth > 0 else intersect_fn)(
+            ray_o, ray_d, t_min, t_max_ray
+        )
         sd = extract_surface_data(
             scene, ray_o, ray_d, hits["t"], hits["tri"], hits["u"], hits["v"]
         )
@@ -207,7 +238,8 @@ def render_wavefront(
             aovs["normal"] = jnp.where(hit_mask[:, None], sd.normal, 0.0)
             aovs["albedo"] = jnp.where(hit_mask[:, None], sd.base_color, 0.0)
             aovs["motion"] = camera_mod.motion_vectors(
-                sd.position, hit_mask, camera, cfg.width, cfg.height
+                sd.position, hit_mask, camera, cfg.width, cfg.height,
+                pixel_ids=pid,
             )
 
         # ---- emissive surface hit (≙ ResolveDirectLightHits at depth 0) ----
@@ -262,10 +294,15 @@ def render_wavefront(
                 mis_w = sg(sampling.power_heuristic(pdf_sa, bsdf_pdf))
             else:
                 mis_w = jnp.ones((n,), f32)
-            # shadow ray (≙ ShadowRaysRayGen): offset along geometric normal
+            # shadow ray (≙ ShadowRaysRayGen): offset along geometric normal;
+            # lanes with no candidate contribution are marked dead (t_max<0)
             so = sd.position + sd.geo_normal * RAY_EPS
+            contrib_valid = contrib_valid & (
+                vm.luminance(jax.lax.stop_gradient(ls.radiance)) > 0.0
+            )
             occluded = occlude_fn(
-                so, ls.wi, jnp.asarray(RAY_EPS, f32), ls.dist - 2.0 * RAY_EPS
+                so, ls.wi, jnp.asarray(RAY_EPS, f32),
+                jnp.where(contrib_valid, ls.dist - 2.0 * RAY_EPS, -1.0),
             )
             # fold validity+occlusion into the detached scalar BEFORE the
             # product so no NaN/inf value ever multiplies a live cotangent
@@ -334,14 +371,18 @@ def render_wavefront(
             # near-delta bounces route to the SPECULAR channel later; track mask
             alive = next_alive & (jnp.max(throughput, axis=-1) > 0.0)
 
-    return {
+    out = {
         "direct": direct,
         "indirect": indirect,
         "specular": specular_ch,
         "volumetric": volumetric_ch,
         **aovs,
-        "restir_state": new_restir_state,
     }
+    if inv_ids is not None:
+        # de-swizzle every per-ray output back to row-major pixel order
+        out = {k2: v[inv_ids] for k2, v in out.items()}
+    out["restir_state"] = new_restir_state
+    return out
 
 
 def merge_channels(out: Dict[str, jnp.ndarray]) -> jnp.ndarray:

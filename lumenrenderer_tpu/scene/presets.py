@@ -208,6 +208,89 @@ def interior_scene(n_boxes: int = 600, n_lights: int = 64, seed: int = 0):
     return b, make_camera
 
 
+def mega_scene(n_tris: int = 1_000_000, n_lights: int = 256, seed: int = 0):
+    """~n_tris procedural environment (BASELINE config 5 workload): a field
+    of perturbed boxes under many area lights, generated fully vectorized as
+    ONE mesh so host build stays fast at millions of triangles."""
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder(light_capacity=max(n_lights * 2, 512))
+    n_box = max(n_tris // 12, 1)
+    side = 200.0
+
+    mats = [
+        b.add_material(
+            MaterialSpec(
+                base_color=tuple(rng.uniform(0.2, 0.9, 3)),
+                roughness=float(rng.uniform(0.15, 1.0)),
+                metallic=float(rng.uniform(0, 1) < 0.15),
+            )
+        )
+        for _ in range(32)
+    ]
+
+    # unit box template (24 verts, 12 tris) — outward faces (from box_mesh)
+    tmpl = box_mesh((0, 0, 0), (1, 1, 1), 0)
+    tv = tmpl.positions          # (24,3)
+    ti = tmpl.indices            # (12,3)
+    centers = rng.uniform(2, side - 2, (n_box, 3)).astype(np.float32)
+    centers[:, 1] = rng.uniform(0, 12, n_box)  # pile near the ground
+    scales = rng.uniform(0.3, 2.0, (n_box, 3)).astype(np.float32)
+    verts = (tv[None] * scales[:, None, :] + centers[:, None, :]).reshape(-1, 3)
+    idx = (ti[None] + (np.arange(n_box) * 24)[:, None, None]).reshape(-1, 3)
+    tri_mats = np.repeat(
+        np.array(mats, np.int32)[rng.integers(0, len(mats), n_box)], 12
+    )
+    b.add_instance(
+        InstanceHost(
+            mesh=MeshHost(
+                positions=verts.astype(np.float32),
+                indices=idx.astype(np.int32),
+                material_ids=tri_mats,
+            )
+        )
+    )
+    # ground
+    g = b.add_material(MaterialSpec(base_color=(0.5, 0.5, 0.5), roughness=1.0))
+    b.add_instance(
+        InstanceHost(
+            mesh=make_quad_mesh(
+                [(0, 0, side), (side, 0, side), (side, 0, 0), (0, 0, 0)], g
+            )
+        )
+    )
+    # lights: one mesh of emissive quads facing down
+    lc = rng.uniform(4, side - 4, (n_lights, 3)).astype(np.float32)
+    lc[:, 1] = rng.uniform(14, 25, n_lights)
+    ls = rng.uniform(0.5, 2.0, n_lights).astype(np.float32)
+    lm = b.add_material(MaterialSpec(base_color=(0, 0, 0), emissive=(600.0, 560.0, 500.0)))
+    lv, li = [], []
+    for i in range(n_lights):
+        base = 4 * i
+        x, y, z = lc[i]
+        s = ls[i]
+        lv += [(x - s, y, z - s), (x + s, y, z - s), (x + s, y, z + s), (x - s, y, z + s)]
+        li += [[base, base + 1, base + 2], [base, base + 2, base + 3]]
+    b.add_instance(
+        InstanceHost(
+            mesh=MeshHost(
+                positions=np.array(lv, np.float32),
+                indices=np.array(li, np.int32),
+                material_ids=lm,
+            )
+        )
+    )
+
+    def make_camera(aspect: float = 1.0) -> Camera:
+        return Camera.look_at(
+            eye=(side / 2, 14.0, side - 4.0),
+            target=(side / 2, 4.0, side / 2),
+            fov_y_deg=55.0,
+            aspect=aspect,
+        )
+
+    return b, make_camera
+
+
 def build(builder_and_cam, aspect: float = 1.0):
     b, cam_f = builder_and_cam
     return b.build(), cam_f(aspect)

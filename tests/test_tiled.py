@@ -79,3 +79,37 @@ def test_dead_rays_skip():
     res = tiled.intersect_closest(cs, o, d, 1e-4, tmax, max_visits=32)
     dead = np.arange(128) % 2 == 1
     assert np.all(np.asarray(res["tri"])[dead] == -1)
+
+
+def test_tree_culling_matches_dense(rng):
+    """Hierarchical packet culling must agree with the dense path when the
+    visit cap is not exceeded (soundness: no false misses)."""
+    from lumenrenderer_tpu.accel import brute as br
+
+    tris = jnp.asarray(random_tris(rng, 800, spread=3.0))
+    cs = stream.build_clusters(tris, cluster_size=32)
+    o, d = random_rays(rng, 384, spread=4.0)
+    rb = br.intersect_closest(tris, o, d, 1e-4, 1e9)
+    c = cs.num_clusters
+    rt = tiled.intersect_closest(cs, o, d, 1e-4, 1e9, max_visits=c, culling="tree")
+    assert not bool(rt["overflow"])
+    same = np.asarray(rt["tri"]) == np.asarray(rb["tri"])
+    tie = np.isclose(np.asarray(rt["t"]), np.asarray(rb["t"]), rtol=1e-4)
+    assert (same | tie).mean() > 0.998
+    occ_t = np.asarray(tiled.intersect_any(cs, o, d, 1e-4, 3.0, max_visits=c, culling="tree"))
+    occ_b = np.asarray(br.intersect_any(tris, o, d, 1e-4, 3.0))
+    assert (occ_t == occ_b).mean() > 0.998
+
+
+def test_pallas_interpret_matches_xla(rng):
+    tris = jnp.asarray(random_tris(rng, 200))
+    cs = stream.build_clusters(tris, cluster_size=16)
+    o, d = random_rays(rng, 256)
+    rx = tiled.intersect_closest(cs, o, d, 1e-4, 1e9, max_visits=16)
+    rp = tiled.intersect_closest(cs, o, d, 1e-4, 1e9, max_visits=16, use_pallas=True)
+    same = np.asarray(rx["tri"]) == np.asarray(rp["tri"])
+    tie = np.isclose(np.asarray(rx["t"]), np.asarray(rp["t"]), rtol=1e-4)
+    assert (same | tie).mean() == 1.0
+    ox = np.asarray(tiled.intersect_any(cs, o, d, 1e-4, 4.0, max_visits=16))
+    op = np.asarray(tiled.intersect_any(cs, o, d, 1e-4, 4.0, max_visits=16, use_pallas=True))
+    assert (ox == op).all()

@@ -49,7 +49,9 @@ def main() -> int:
         width=w, height=h, max_depth=depth, bsdf="disney",
         light_strategy="nee" if use_restir else "mis", use_restir=use_restir,
     )
-    r = Renderer(sc, cfg, accel=accel, cluster_size=128, max_visits=16)
+    cluster = int(os.environ.get("BENCH_CLUSTER", 256))
+    mv = int(os.environ.get("BENCH_MV", 12))
+    r = Renderer(sc, cfg, accel=accel, cluster_size=cluster, max_visits=mv)
     st = r.init_state(0)
 
     # warmup / compile

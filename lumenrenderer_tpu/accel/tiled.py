@@ -55,18 +55,67 @@ def _pad(a, r_pad, fill):
 # misses (axis with 0 in the direction interval imposes no constraint).
 # ---------------------------------------------------------------------------
 
-def _tile_tree_visits(cs: ClusterSet, o, d, tn, tx, tiles: int, mv: int):
-    """Returns (order (T,mv) cluster ids, valid (T,mv), overflow)."""
-    ot = o.reshape(tiles, RAY_TILE, 3)
-    dt = d.reshape(tiles, RAY_TILE, 3)
-    alive = (tx > tn).reshape(tiles, RAY_TILE)
+def _tile_bounds(o, d, tn, tx, tiles: int, tile: int):
+    """Per-tile conservative interval bounds over the live rays."""
+    ot = o.reshape(tiles, tile, 3)
+    dt = d.reshape(tiles, tile, 3)
+    alive = (tx > tn).reshape(tiles, tile)
     big = jnp.float32(3e37)
     olo = jnp.min(jnp.where(alive[..., None], ot, big), axis=1)
     ohi = jnp.max(jnp.where(alive[..., None], ot, -big), axis=1)
     dlo = jnp.min(jnp.where(alive[..., None], dt, big), axis=1)
     dhi = jnp.max(jnp.where(alive[..., None], dt, -big), axis=1)
-    t_cap = jnp.max(jnp.where(alive, tx.reshape(tiles, RAY_TILE), -big), axis=1)
+    t_cap = jnp.max(jnp.where(alive, tx.reshape(tiles, tile), -big), axis=1)
     any_alive = jnp.any(alive, axis=1)
+    return olo, ohi, dlo, dhi, t_cap, any_alive
+
+
+def _frustum_visits(cs: ClusterSet, o, d, tn, tx, tiles: int, mv: int):
+    """Tile-granular dense culling: conservative interval-ray (packet) slab
+    test of every (tile, cluster) pair — O(T*C) instead of the per-ray dense
+    path's O(R*C), at slightly looser bounds (frustum vs exact ray union).
+    Returns (order (T,mv), valid (T,mv), tnear (T,mv) sorted asc, overflow)."""
+    olo, ohi, dlo, dhi, t_cap, any_alive = _tile_bounds(
+        o, d, tn, tx, tiles, RAY_TILE
+    )
+    eps = 1e-20
+    inv_a = 1.0 / jnp.where(jnp.abs(dlo) > eps, dlo, eps)        # (T,3)
+    inv_b = 1.0 / jnp.where(jnp.abs(dhi) > eps, dhi, eps)
+    zero_in_d = (dlo <= 0.0) & (dhi >= 0.0)                      # (T,3)
+    blo = cs.aabb_lo[None, :, :]                                 # (1,C,3)
+    bhi = cs.aabb_hi[None, :, :]
+    nmin = blo - ohi[:, None, :]                                 # (T,C,3)
+    nmax = bhi - olo[:, None, :]
+    # interval product corners bound every per-ray slab t
+    c1 = nmin * inv_a[:, None, :]
+    c2 = nmin * inv_b[:, None, :]
+    c3 = nmax * inv_a[:, None, :]
+    c4 = nmax * inv_b[:, None, :]
+    ent = jnp.minimum(jnp.minimum(c1, c2), jnp.minimum(c3, c4))
+    exi = jnp.maximum(jnp.maximum(c1, c2), jnp.maximum(c3, c4))
+    ent = jnp.where(zero_in_d[:, None, :], -jnp.inf, ent)
+    exi = jnp.where(zero_in_d[:, None, :], jnp.inf, exi)
+    tn_lb = jnp.max(ent, axis=-1)                                # (T,C)
+    tf_ub = jnp.min(exi, axis=-1)
+    hit = (
+        (tn_lb <= tf_ub)
+        & (tf_ub >= 0.0)
+        & (tn_lb <= t_cap[:, None])
+        & any_alive[:, None]
+    )
+    tnear = jnp.where(hit, jnp.maximum(tn_lb, 0.0), jnp.inf)
+    neg_t, idx = jax.lax.top_k(-tnear, mv)                       # asc by tnear
+    valid = jnp.isfinite(neg_t)
+    overflow = jnp.any(jnp.sum(hit, axis=1) > mv)
+    return idx.astype(jnp.int32), valid, -neg_t, overflow
+
+
+def _tile_tree_visits(cs: ClusterSet, o, d, tn, tx, tiles: int, mv: int):
+    """Returns (order (T,mv) cluster ids, valid (T,mv), tnear (T,mv) sorted
+    ascending, overflow)."""
+    olo, ohi, dlo, dhi, t_cap, any_alive = _tile_bounds(
+        o, d, tn, tx, tiles, RAY_TILE
+    )
 
     def possible_hit(blo, bhi, olo1, ohi1, dlo1, dhi1, cap):
         # per-axis candidate t products (conservative interval bounds)
@@ -93,20 +142,24 @@ def _tile_tree_visits(cs: ClusterSet, o, d, tn, tx, tiles: int, mv: int):
 
     def traverse_tile(olo1, ohi1, dlo1, dhi1, cap, ok_tile):
         stack = jnp.zeros((max_stack,), jnp.int32)
-        root_hit, _ = possible_hit(
+        tstack = jnp.zeros((max_stack,), jnp.float32)
+        root_hit, root_tn = possible_hit(
             cs.tree_lo[0], cs.tree_hi[0], olo1, ohi1, dlo1, dhi1, cap
         )
         sp = jnp.where(root_hit & ok_tile, 1, 0).astype(jnp.int32)
+        tstack = tstack.at[0].set(root_tn)
         visits = jnp.zeros((mv,), jnp.int32)
+        vtn = jnp.full((mv,), jnp.inf, jnp.float32)
         count = jnp.int32(0)
 
         def cond(st):
-            sp, _, _, count = st
+            sp = st[0]
             return sp > 0
 
         def body(st):
-            sp, stack, visits, count = st
+            sp, stack, tstack, visits, vtn, count = st
             node = stack[sp - 1]
+            node_tn = tstack[sp - 1]
             sp = sp - 1
             c0 = cs.tree_child0[node]
             c1 = cs.tree_child1[node]
@@ -115,9 +168,9 @@ def _tile_tree_visits(cs: ClusterSet, o, d, tn, tx, tiles: int, mv: int):
             leaf_idx = jnp.maximum(-c0 - 1, 0)
             cluster = cs.tree_leaf_cluster[leaf_idx]
             slot = jnp.minimum(count, mv - 1)
-            visits = jnp.where(
-                is_leaf & (count < mv), visits.at[slot].set(cluster), visits
-            )
+            take = is_leaf & (count < mv)
+            visits = jnp.where(take, visits.at[slot].set(cluster), visits)
+            vtn = jnp.where(take, vtn.at[slot].set(node_tn), vtn)
             count = count + is_leaf.astype(jnp.int32)
             # internal: push children that possibly hit, near-first pop
             c0i = jnp.maximum(c0, 0)
@@ -132,25 +185,37 @@ def _tile_tree_visits(cs: ClusterSet, o, d, tn, tx, tiles: int, mv: int):
             swap = tn1 < tn0
             near = jnp.where(swap, c1, c0i)
             far = jnp.where(swap, c0i, c1)
+            t_near = jnp.where(swap, tn1, tn0)
+            t_far = jnp.where(swap, tn0, tn1)
             h_near = jnp.where(swap, h1, h0)
             h_far = jnp.where(swap, h0, h1)
             stack = jnp.where(h_far, stack.at[sp].set(far), stack)
+            tstack = jnp.where(h_far, tstack.at[sp].set(t_far), tstack)
             sp_f = sp + h_far.astype(jnp.int32)
             stack = jnp.where(h_near, stack.at[sp_f].set(near), stack)
+            tstack = jnp.where(h_near, tstack.at[sp_f].set(t_near), tstack)
             sp = sp_f + h_near.astype(jnp.int32)
-            return sp, stack, visits, count
+            return sp, stack, tstack, visits, vtn, count
 
-        _, _, visits, count = jax.lax.while_loop(
-            cond, body, (sp, stack, visits, count)
+        _, _, _, visits, vtn, count = jax.lax.while_loop(
+            cond, body, (sp, stack, tstack, visits, vtn, count)
         )
-        return visits, count
+        return visits, vtn, count
 
-    visits, counts = jax.vmap(traverse_tile)(olo, ohi, dlo, dhi, t_cap, any_alive)
+    visits, vtn, counts = jax.vmap(traverse_tile)(
+        olo, ohi, dlo, dhi, t_cap, any_alive
+    )
+    # near-first pops are only approximately sorted; the packed-key closest
+    # reduction is order-independent but the ordered EARLY-OUT requires
+    # strictly ascending entry t — sort the (small) visit lists.
+    sort_idx = jnp.argsort(vtn, axis=1)
+    visits = jnp.take_along_axis(visits, sort_idx, axis=1)
+    vtn = jnp.take_along_axis(vtn, sort_idx, axis=1)
     valid = (
         jax.lax.broadcasted_iota(jnp.int32, (tiles, mv), 1) < counts[:, None]
     )
     overflow = jnp.any(counts > mv)
-    return visits, valid, overflow
+    return visits, valid, jnp.where(valid, vtn, jnp.inf), overflow
 
 
 @partial(jax.jit, static_argnames=("max_visits", "closest", "candidate_dtype",
@@ -161,7 +226,8 @@ def _query(cs: ClusterSet, origins, dirs, t_min, t_max,
     r = origins.shape[0]
     t_min_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
-    r_pad = (-r) % RAY_TILE
+    # the Pallas kernel writes (tiles//8, 8, 128) key blocks — pad to 8 tiles
+    r_pad = (-r) % (RAY_TILE * 8 if use_pallas else RAY_TILE)
     o = _pad(origins, r_pad, 0.0)
     d = _pad(dirs, r_pad, 1.0)
     tn = _pad(t_min_b, r_pad, 0.0)
@@ -172,8 +238,15 @@ def _query(cs: ClusterSet, origins, dirs, t_min, t_max,
     c = cs.num_clusters
     mv = min(max_visits, c)
 
+    if use_pallas and (4 * k) % 128 != 0 and jax.default_backend() == "tpu":
+        # Mosaic DMA slices must be 128-lane aligned: the fused kernel needs
+        # cluster_size >= 32 when compiled; smaller clusters use the XLA scan
+        use_pallas = False
+
     if culling == "auto":
-        culling = "dense" if c <= 512 else "tree"
+        # frustum (O(T*C), tile-granular) is the Pallas default; the XLA
+        # scan keeps its measured-best choices
+        culling = "frustum" if use_pallas else ("dense" if c <= 512 else "tree")
     if culling == "dense":
         # O(R*C) dense slab test, exact per-ray union — best for small C
         hit_rc, tnear_rc = _ray_cluster_window(cs, o, d, tn, tx)
@@ -182,10 +255,15 @@ def _query(cs: ClusterSet, origins, dirs, t_min, t_max,
         tnear_tc = jnp.where(hit_tc, tnear_tc, jnp.inf)
         order = jnp.argsort(tnear_tc, axis=1)[:, :mv]                     # (T,mv)
         valid_k = jnp.take_along_axis(hit_tc, order, axis=1)              # (T,mv)
+        tnear_k = jnp.take_along_axis(tnear_tc, order, axis=1)
         overflow = jnp.any(jnp.sum(hit_tc, axis=1) > mv)
+    elif culling == "frustum":
+        order, valid_k, tnear_k, overflow = _frustum_visits(
+            cs, o, d, tn, tx, tiles, mv
+        )
     else:
         # O(T * log C) conservative packet traversal of the cluster tree
-        order, valid_k, overflow = _tile_tree_visits(
+        order, valid_k, tnear_k, overflow = _tile_tree_visits(
             cs, o, d, tn, tx, tiles, mv
         )
 
@@ -255,19 +333,51 @@ def _query(cs: ClusterSet, origins, dirs, t_min, t_max,
         return (best_key, occ), None
 
     if use_pallas:
-        # fused Pallas kernel: matmul+decode+key-min without HBM round-trips
+        # fused visit-adaptive Pallas kernel (see ops/pallas/intersect.py):
+        # per-tile fori_loop over its actual visits, double-buffered feature
+        # DMA, decode+key-min resident in VMEM, ordered early-out
         import jax as _jax
 
         from ..ops.pallas import intersect as pk
 
-        best_key = pk.scan_keys(
-            rf, tmin_t, tmax_t, cs.tri_feat,
-            order.reshape(-1).astype(jnp.int32),
-            valid_k.reshape(-1).astype(jnp.int32),
-            k=k, mv=mv, k_bits=k_bits, low_bits=low_bits,
+        rf12 = jnp.concatenate([rf.reshape(rp, 10), tn[:, None], tx[:, None]],
+                               axis=1)
+        rf_t = rf12.reshape(tiles, RAY_TILE, 12)
+        sel = order.astype(jnp.int32)
+        nv = jnp.sum(valid_k, axis=1).astype(jnp.int32)
+        tn_bits = jax.lax.bitcast_convert_type(
+            jnp.maximum(tnear_k, 0.0).astype(jnp.float32), jnp.int32
+        )
+        tnb = jnp.where(
+            valid_k, jnp.minimum(tn_bits, KEY_MISS - 1), jnp.int32(KEY_MISS)
+        )
+        out = pk.visit_scan(
+            rf_t, cs.tri_feat, cs.tri_id, sel, nv, tnb,
+            k=k, mv=mv, k_bits=k_bits, low_bits=low_bits, closest=closest,
             interpret=_jax.default_backend() != "tpu",
         )
-        occ = best_key < KEY_MISS
+        if not closest:
+            occ_f = (out.reshape(rp)[:r] > 0) & ~(t_max_b < t_min_b)
+            return {
+                "t": jnp.full((r,), jnp.inf),
+                "tri": jnp.full((r,), -1, jnp.int32),
+                "u": jnp.zeros((r,)),
+                "v": jnp.zeros((r,)),
+                "occluded": occ_f,
+                "overflow": overflow,
+            }
+        # winner t/u/v/tri selected in-kernel — no host-side decode gathers
+        flatp = lambda a: a.reshape(rp)[:r]
+        tri_f = flatp(out["tri"])
+        found = tri_f >= 0
+        return {
+            "t": jnp.where(found, flatp(out["t"]), jnp.inf),
+            "tri": jnp.where(found, tri_f, -1),
+            "u": jnp.where(found, flatp(out["u"]), 0.0),
+            "v": jnp.where(found, flatp(out["v"]), 0.0),
+            "occluded": found,
+            "overflow": overflow,
+        }
     else:
         init = (
             jnp.full((tiles, RAY_TILE), KEY_MISS, jnp.int32),

@@ -38,6 +38,42 @@ class SurfaceData:
     front_face: jnp.ndarray    # (R,) bool — ray hit the front side (for IOR)
 
 
+def _attr_table(scene: SceneData) -> jnp.ndarray:
+    """Per-triangle flat attribute table (N, 56): geometric normal, vertex
+    normals, UVs, tangents, packed material row, instance emission override.
+
+    Column layout: geo_n 0:3 | normals 3:12 | uv 12:18 | tangent 18:30 |
+    material 30:30+MW | emission mode 30+MW | emission override last 3
+    (MW = materials.packed() width).
+
+    Built from the SoA scene pytree ONCE per frame (pure elementwise ops over
+    N + two N-row gathers); the per-RAY access in `extract_surface_data` is
+    then ONE row gather. Without this, per-attribute (R,3,3)-shaped gathers
+    get (4,128)-tiled layouts — a measured 57x HBM padding expansion (7 GB at
+    1440p) plus 4x the fixed gather cost. Differentiable: the material block
+    is a gather of `materials.packed()`, so pixel gradients flow to params.
+    """
+    n = scene.tri_pos.shape[0]
+    p0 = scene.tri_pos[:, 0]
+    e1 = scene.tri_pos[:, 1] - p0
+    e2 = scene.tri_pos[:, 2] - p0
+    geo_n = vm.normalize(jnp.cross(e1, e2))
+    mode = scene.inst_emission_mode[scene.tri_inst]
+    override = scene.inst_emission_override[scene.tri_inst]
+    return jnp.concatenate(
+        [
+            geo_n,                                   # 0:3
+            scene.tri_normal.reshape(n, 9),          # 3:12
+            scene.tri_uv.reshape(n, 6),              # 12:18
+            scene.tri_tangent.reshape(n, 12),        # 18:30
+            scene.materials.packed()[scene.tri_mat], # 30:30+MW
+            mode[:, None].astype(jnp.float32),       # 30+MW
+            override,                                # last 3
+        ],
+        axis=1,
+    )
+
+
 def extract_surface_data(
     scene: SceneData,
     ray_o: jnp.ndarray,
@@ -50,12 +86,11 @@ def extract_surface_data(
     valid = hit_tri >= 0
     tri = jnp.maximum(hit_tri, 0)
 
-    pos3 = scene.tri_pos[tri]        # (R,3,3)
-    nrm3 = scene.tri_normal[tri]     # (R,3,3)
-    uv3 = scene.tri_uv[tri]          # (R,3,2)
-    tan3 = scene.tri_tangent[tri]    # (R,3,4)
-    mat_idx = scene.tri_mat[tri]
-    inst_idx = scene.tri_inst[tri]
+    mw = scene.materials.packed().shape[1]
+    att = _attr_table(scene)[tri]    # (R, 34+mw) — THE per-ray gather
+    nrm3 = att[:, 3:12].reshape(-1, 3, 3)
+    uv3 = att[:, 12:18].reshape(-1, 3, 2)
+    tan3 = att[:, 18:30].reshape(-1, 3, 4)
 
     w = (1.0 - hit_u - hit_v)[..., None]
     u_ = hit_u[..., None]
@@ -71,9 +106,7 @@ def extract_surface_data(
         w * tan3[:, 0, :3] + u_ * tan3[:, 1, :3] + v_ * tan3[:, 2, :3]
     )
     handed = jnp.sign(tan3[:, 0, 3] + 1e-8)
-    geo_normal = vm.normalize(
-        jnp.cross(pos3[:, 1] - pos3[:, 0], pos3[:, 2] - pos3[:, 0])
-    )
+    geo_normal = att[:, 0:3]
     # orient shading normal to the geometric side facing the ray
     front_face = vm.dot(geo_normal, -ray_d) >= 0.0
     flip = jnp.where(front_face, 1.0, -1.0)
@@ -81,12 +114,11 @@ def extract_surface_data(
     normal = jnp.where(vm.dot(normal, geo_normal)[..., None] < 0.0, -normal, normal)
 
     mats = scene.materials
-    # ONE row gather for all float params (per-param gathers are ~15x the
-    # fixed gather cost on TPU)
     from ..scene.materials import GatheredMaterial
 
-    rows = mats.packed()[mat_idx]
+    rows = att[:, 30:30 + mw]
     g = GatheredMaterial(rows)
+    mat_idx = scene.tri_mat[tri]
     # static fast path: a trivial atlas (only the builtin white texel) means
     # no material references any texture — skip all sampling gathers
     has_textures = scene.textures.count > 1
@@ -101,10 +133,10 @@ def extract_surface_data(
         alpha = jnp.ones_like(hit_t)
         emissive = g.emissive
     # instance emission override (≙ DevicePrimitiveInstance override modes)
-    mode = scene.inst_emission_mode[inst_idx]
-    override = scene.inst_emission_override[inst_idx]
-    emissive = jnp.where((mode == 2)[..., None], override, emissive)
-    emissive = jnp.where((mode == 0)[..., None], 0.0, emissive)
+    mode = att[:, 30 + mw]
+    override = att[:, 31 + mw:34 + mw]
+    emissive = jnp.where((mode == 2.0)[..., None], override, emissive)
+    emissive = jnp.where((mode == 0.0)[..., None], 0.0, emissive)
 
     if has_textures:
         mr_tex = sample_bilinear(scene.textures, mats.metal_rough_tex[mat_idx], uv)

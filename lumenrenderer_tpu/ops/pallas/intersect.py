@@ -1,19 +1,36 @@
-"""Pallas TPU kernel: fused ray-tile × cluster Möller–Trumbore.
+"""Pallas TPU kernels: fused, visit-adaptive ray-tile × cluster intersection.
 
-The XLA version of the tiled-stream inner loop (accel/tiled.py) materializes
-a (tiles, 128, 4K) f32 candidate tensor in HBM every visit step — measured
-to dominate traversal time. This kernel fuses matmul → decode → hit test →
-packed-key min entirely in VMEM:
+TPU-native replacement for the reference's `optixLaunch` ray traversal
+(`OptixWrapper.cpp:543-567` + `Shaders/WaveFrontShaders.cu:42-112`): instead
+of RT cores walking a BVH per ray, 128-ray tiles test whole 32/64/128-triangle
+SAH clusters as one MXU matmul, with the decode epilogue fused in VMEM.
 
-  grid = (tiles, max_visits); the visit dimension is innermost, so the
-  (1, RAY_TILE) output key block stays resident in VMEM and accumulates
-  across visits (revisited-output accumulation pattern). The per-visit
-  cluster feature block (10, 4K) is DMA'd by the scalar-prefetched cluster
-  id — the PrefetchScalarGridSpec index_map pattern from the TPU guide.
+Why this kernel exists (measured on v5e, 3.7M rays, 7.3k tris):
+the XLA `lax.scan` formulation of the same algorithm (accel/tiled.py) costs
+~830 ms per closest-hit pass — the per-candidate decode (u/v/t + predicates)
+materializes (tiles, 128, 4K) tensors through HBM every visit, and the scan
+must run `max_visits` steps for every tile even though the mean live visit
+count is ~7.6. This kernel fixes both:
 
-Division-free hit test (sign-aware MT) avoids per-candidate reciprocals;
-only the t used for ordering divides, masked. Padded triangle slots have
-all-zero features → det = 0 → natural miss (no id masking needed).
+- grid = (ray_tiles,): ONE program per 128-ray tile; the per-tile visit loop
+  is a `fori_loop` with the tile's ACTUAL visit count (scalar-prefetched) —
+  dead tiles cost ~nothing, live tiles pay only what they use.
+- cluster features are DMA'd HBM→VMEM, double-buffered, with visit 0
+  pipelined by a scalar-prefetch BlockSpec so the first-visit latency hides
+  behind the previous program.
+- the Möller–Trumbore bilinear form runs as a natural (128,10)x(10,4K) MXU
+  matmul — rays on sublanes, candidates on lanes — so hit-decode, packed-key
+  min (a lane reduction) and the (128,1) per-ray accumulator involve zero
+  relayouts.
+- division-free sign-test decode; ONE exact reciprocal for the ordering key.
+- ordered early-out: visits arrive sorted by conservative entry t; once every
+  live ray's best hit is closer than the next cluster's entry, remaining
+  visits skip their compute (the reference gets this from OptiX's guaranteed
+  closest-hit traversal order).
+
+Packed key layout (shared with accel/tiled.py): positive-float t bits in the
+high bits (order-preserving), visit step and intra-cluster triangle id in the
+low `low_bits`; min(key) = nearest hit to 2^-11 relative t.
 """
 from __future__ import annotations
 
@@ -25,90 +42,256 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 KEY_MISS = 0x7F000000  # python int: kernels must not capture traced constants
+RT = 128               # rays per tile (sublane dimension)
+FR = 16                # feature rows, padded from 10 for 8-aligned DMA slices
+NBUF = 6               # feature DMA pipeline depth (hides ~2 us HBM latency)
+EVERY_N = 4            # early-out check cadence (vector->scalar sync cost)
 
 
-def _kernel_factory(k: int, mv: int, k_bits: int, low_bits: int):
-    low_mask = ~((1 << low_bits) - 1)  # python int constant
-    def kernel(sel_ref, okk_ref, rf_ref, tmin_ref, tmax_ref, feats_ref, key_ref):
-        s_idx = pl.program_id(1)
-        t_idx = pl.program_id(0)
-        ok_step = okk_ref[t_idx * mv + s_idx]
+def _make_kernel(k: int, mv: int, k_bits: int, low_bits: int, closest: bool):
+    low_mask = ~((1 << low_bits) - 1)
 
-        rf = rf_ref[0]          # (RT, 10)
-        feats = feats_ref[0]    # (10, 4K)
-        res = jnp.dot(rf, feats, preferred_element_type=jnp.float32)  # (RT,4K)
-        det = res[:, 0 * k : 1 * k]
-        u_num = res[:, 1 * k : 2 * k]
-        v_num = res[:, 2 * k : 3 * k]
-        t_num = res[:, 3 * k : 4 * k]
+    def kernel(sel0_ref, nv_ref, rf_ref, selv_ref, tnbv_ref, first_ref,
+               feats_ref, out_ref, fbuf, sems, srow, trow, rsem):
+        t = pl.program_id(0)
+        row = jax.lax.rem(t, 8)
+        n = nv_ref[t]
+        rf = rf_ref[0]                    # (128, 12)
+        rfm = rf[:, :10]                  # (128, 10) MT ray features
+        tmin = rf[:, 10:11]               # (128, 1)
+        tmax = rf[:, 11:12]
+        dead = tmax < tmin                # (128, 1) padded/dead lanes
 
-        s = jnp.sign(det)
-        dets = det * s  # |det|
-        ok = dets > 1e-12
-        u_ok = u_num * s >= 0.0
-        v_ok = v_num * s >= 0.0
-        uv_ok = (u_num + v_num) * s <= dets
-        tmin = tmin_ref[0][:, None]
-        tmax = tmax_ref[0][:, None]
-        ts = t_num * s
-        t_ok = (ts > tmin * dets) & (ts <= tmax * dets)
-        hit = ok & u_ok & v_ok & uv_ok & t_ok & (ok_step != 0)
-
-        t_val = jnp.where(hit, t_num / jnp.where(ok, det, 1.0), 3.0e37)
-        tb = pltpu.bitcast(jnp.maximum(t_val, 0.0), jnp.int32)
-        k_ids = jax.lax.broadcasted_iota(jnp.int32, (t_val.shape[0], k), 1)
-        key = (tb & jnp.int32(low_mask)) | (s_idx << k_bits) | k_ids
-        key = jnp.where(hit, key, jnp.int32(KEY_MISS))
-        kmin = jnp.min(key, axis=-1)  # (RT,)
-
-        @pl.when(s_idx == 0)
+        # the visit lists live in HBM ((T/8, 8, 128) int32); the first program
+        # of each 8-tile group copies the group's lists to SMEM scratch,
+        # which persists across the group's programs on this core.
+        @pl.when(row == 0)
         def _():
-            key_ref[0] = kmin
+            cps = pltpu.make_async_copy(selv_ref.at[t // 8], srow, rsem.at[0])
+            cpt = pltpu.make_async_copy(tnbv_ref.at[t // 8], trow, rsem.at[1])
+            cps.start()
+            cpt.start()
+            cps.wait()
+            cpt.wait()
 
-        @pl.when(s_idx != 0)
-        def _():
-            key_ref[0] = jnp.minimum(key_ref[0], kmin)
+        def dma(i):
+            # visit i (i >= 1) lives in slot (i-1) % NBUF
+            slot = jax.lax.rem(i - 1, NBUF)
+            return pltpu.make_async_copy(
+                feats_ref.at[srow[row, i]], fbuf.at[slot], sems.at[slot]
+            )
+
+        # deep prologue: HBM DMA latency >> per-visit compute, so keep NBUF
+        # descriptors in flight (visit 0 is pipelined via its BlockSpec)
+        for j in range(1, NBUF + 1):
+            @pl.when(n > j)
+            def _(j=j):
+                dma(j).start()
+
+        if closest:
+            # dead lanes start at key 0 so they never block early-out; their
+            # id stays -1 so they decode as misses.
+            key0 = jnp.where(dead, 0, KEY_MISS).astype(jnp.int32)
+            acc0 = (key0,
+                    jnp.full((RT, 1), jnp.inf, jnp.float32),
+                    jnp.zeros((RT, 1), jnp.float32),
+                    jnp.zeros((RT, 1), jnp.float32),
+                    jnp.full((RT, 1), -1, jnp.int32))
+        else:
+            acc0 = (dead.astype(jnp.int32),)  # dead lanes count as occluded
+
+        kid = jax.lax.broadcasted_iota(jnp.int32, (RT, k), 1)
+
+        def body(i, carry):
+            done, acc = carry[0], carry[1:]
+
+            @pl.when(i > 0)
+            def _():
+                dma(i).wait()
+
+            slot = jax.lax.rem(jnp.maximum(i - 1, 0), NBUF)
+            feats = jnp.where(i == 0, first_ref[0], fbuf[slot])  # (16, 4K)
+
+            def compute(acc):
+                # MT bilinear form: rays on sublanes, candidates on lanes
+                res = jax.lax.dot_general(
+                    rfm, feats[:10],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                               # (128, 4K)
+                det = res[:, 0 * k:1 * k]
+                un = res[:, 1 * k:2 * k]
+                vn = res[:, 2 * k:3 * k]
+                tn_ = res[:, 3 * k:4 * k]
+                s = jnp.sign(det)
+                ad = det * s                    # |det|
+                us = un * s
+                vs = vn * s
+                ts = tn_ * s
+                hit = (
+                    (ad > 1e-12)
+                    & (us >= 0.0)
+                    & (vs >= 0.0)
+                    & (us + vs <= ad)
+                    & (ts > tmin * ad)
+                    & (ts <= tmax * ad)
+                )
+                if not closest:
+                    occ = jnp.any(hit, axis=1, keepdims=True)
+                    return (acc[0] | occ.astype(jnp.int32),)
+                # exact t/u/v for every candidate (one reciprocal), and the
+                # winner picked IN-kernel: the packed key is unique per
+                # candidate (kid in the low bits), so key == min(key)
+                # matches exactly one lane — no host-side winner gathers.
+                acc_key, acc_t, acc_u, acc_v, acc_id = acc
+                inv = pl.reciprocal(jnp.where(ad > 1e-12, ad, 1.0),
+                                    approx=False)
+                tval = ts * inv
+                tb = pltpu.bitcast(jnp.maximum(tval, 0.0), jnp.int32)
+                key = (tb & jnp.int32(low_mask)) | (i << k_bits) | kid
+                key = jnp.where(hit, key, jnp.int32(KEY_MISS))
+                kmin = jnp.min(key, axis=1, keepdims=True)      # (128,1)
+                improved = kmin < acc_key
+                mask = (key == kmin) & improved                 # one lane
+                big = jnp.float32(3.0e38)
+                ids = pltpu.bitcast(feats[10:11, 3 * k:4 * k], jnp.int32)
+                pick = lambda vq: jnp.max(
+                    jnp.where(mask, vq, -big), axis=1, keepdims=True
+                )
+                new_t = jnp.where(improved, pick(tval), acc_t)
+                new_u = jnp.where(improved, pick(us * inv), acc_u)
+                new_v = jnp.where(improved, pick(vs * inv), acc_v)
+                new_id = jnp.where(
+                    improved,
+                    jnp.max(jnp.where(mask, ids, jnp.int32(-0x7FFFFFFF)),
+                            axis=1, keepdims=True),
+                    acc_id,
+                )
+                return (jnp.minimum(acc_key, kmin), new_t, new_u, new_v,
+                        new_id)
+
+            # lax.cond (not where): the skip must actually elide the compute
+            new_acc = jax.lax.cond(done, lambda a: a, compute, acc)
+
+            # the done check reads a vector reduction into the scalar unit —
+            # a cross-unit sync — so amortize it over EVERY_N visits
+            def check(_):
+                if closest:
+                    # ordered early-out: next visit's conservative entry t
+                    nxt = trow[row, jnp.minimum(i + 1, mv - 1)]
+                    best_hi = jnp.max(new_acc[0]) >> low_bits
+                    return done | (best_hi < (nxt >> low_bits))
+                return done | (jnp.min(new_acc[0]) > 0)
+
+            new_done = jax.lax.cond(
+                jax.lax.rem(i, EVERY_N) == EVERY_N - 1,
+                check, lambda _: done, 0,
+            )
+
+            # prologue already started visits 1..NBUF
+            @pl.when((i >= 1) & (i + NBUF < n))
+            def _():
+                dma(i + NBUF).start()
+
+            return (new_done,) + new_acc
+
+        fin = jax.lax.fori_loop(0, n, body, (n <= 0,) + acc0)
+        # outputs are (T/8, 8, 128) blocks — the natural f32 tile, zero
+        # padding waste; each program writes its row (one small transpose)
+        if closest:
+            cat = jnp.concatenate(
+                [fin[2], fin[3], fin[4],
+                 pltpu.bitcast(fin[5], jnp.float32)], axis=1
+            )                                   # (128, 4): t, u, v, id-bits
+            out_ref[0, pl.ds(4 * row, 4), :] = cat.T
+        else:
+            out_ref[0, pl.ds(row, 1), :] = fin[1].astype(jnp.int32).T
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("k", "mv", "k_bits", "low_bits", "interpret"))
-def scan_keys(rf_tiles, tmin_t, tmax_t, feats, sel_flat, okk_flat,
-              k: int, mv: int, k_bits: int, low_bits: int,
-              interpret: bool = False):
-    """rf_tiles: (T,RT,10); tmin/tmax: (T,RT); feats: (C,10,4K);
-    sel_flat/okk_flat: (T*mv,) int32. Returns (T,RT) int32 packed keys."""
-    tiles, rt, _ = rf_tiles.shape
-    kernel = _kernel_factory(k, mv, k_bits, low_bits)
+@partial(jax.jit, static_argnames=("k", "mv", "k_bits", "low_bits", "closest",
+                                   "interpret"))
+def visit_scan(rf_t, feats, tri_id, sel, nv, tnb, *, k: int, mv: int,
+               k_bits: int, low_bits: int, closest: bool,
+               interpret: bool = False):
+    """Run the fused visit loop.
+
+    rf_t:  (T, 128, 12) f32 — cols 0-9 MT ray features, col 10 per-ray t_min,
+           col 11 per-ray t_max (t_max < t_min = dead lane).
+    feats: (C, 10, 4K) f32 cluster MT coefficients (ClusterSet.tri_feat).
+    tri_id:(C, K) i32 global triangle ids (-1 pad), ClusterSet.tri_id.
+    sel:   (T, mv) i32 cluster ids per visit (sorted by entry t, 0-padded).
+    nv:    (T,) i32 live visit count per tile.
+    tnb:   (T, mv) i32 conservative entry-t float bits (KEY_MISS = invalid).
+
+    Returns: closest → dict {t, u, v, tri} of (T, 128) arrays (tri = -1 miss);
+    any → (T, 128) i32 occlusion 0/1.
+    T must be a multiple of 8 (visit lists are group-DMA'd per 8 tiles).
+    """
+    tiles = rf_t.shape[0]
+    assert tiles % 8 == 0, tiles
+    assert mv <= 128, mv
+    fk = feats.shape[-1]
+    # pad feature rows 10 -> 16 (HBM DMA slices need 8-aligned sublanes) and
+    # ride the triangle ids in spare row 10, t-block lanes, as raw bits
+    feats16 = jnp.pad(feats, ((0, 0), (0, FR - feats.shape[1]), (0, 0)))
+    if closest:
+        idbits = jax.lax.bitcast_convert_type(tri_id.astype(jnp.int32),
+                                              jnp.float32)
+        feats16 = feats16.at[:, 10, 3 * k:4 * k].set(idbits)
+    kernel = _make_kernel(k, mv, k_bits, low_bits, closest)
+    # SMEM is ~1 MB: only the per-TILE scalars (first cluster id + visit
+    # count) are scalar-prefetched; the (T, mv) visit lists are padded to
+    # full 128-lane rows and group-DMA'd to SMEM inside the kernel.
+    sel0 = sel[:, 0].astype(jnp.int32)
+    mvp = 128
+    pad = ((0, 0), (0, mvp - mv))
+    selv = jnp.pad(sel.astype(jnp.int32), pad).reshape(tiles // 8, 8, mvp)
+    tnbv = jnp.pad(tnb.astype(jnp.int32), pad, constant_values=KEY_MISS
+                   ).reshape(tiles // 8, 8, mvp)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(tiles, mv),
+        grid=(tiles,),
         in_specs=[
-            pl.BlockSpec(
-                (1, rt, 10), lambda t, s, sel, okk: (t, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, rt), lambda t, s, sel, okk: (t, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, rt), lambda t, s, sel, okk: (t, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 10, 4 * k),
-                lambda t, s, sel, okk: (sel[t * mv + s], 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec((1, RT, 12), lambda t, sel0, nv: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # visit lists stay in HBM; each 8-tile group DMAs its rows to SMEM
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            # visit 0's cluster block, pipelined via scalar prefetch
+            pl.BlockSpec((1, FR, fk), lambda t, sel0, nv: (sel0[t], 0, 0),
+                         memory_space=pltpu.VMEM),
+            # full cluster table stays in HBM; visits >= 1 are manual DMA
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(
-            (1, rt), lambda t, s, sel, okk: (t, 0), memory_space=pltpu.VMEM
+            (1, 32 if closest else 8, RT), lambda t, sel0, nv: (t // 8, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, FR, fk), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SMEM((8, mvp), jnp.int32),
+            pltpu.SMEM((8, mvp), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((tiles, rt), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct(
+            (tiles // 8, 32, RT), jnp.float32
+        ) if closest else jax.ShapeDtypeStruct((tiles // 8, 8, RT), jnp.int32),
         interpret=interpret,
-    )(sel_flat, okk_flat, rf_tiles, tmin_t, tmax_t, feats)
+    )(sel0, nv, rf_t, selv, tnbv, feats16, feats16)
+    if not closest:
+        return out.reshape(tiles, RT)
+    arr = out.reshape(tiles // 8, 8, 4, RT)
+    tri = jax.lax.bitcast_convert_type(arr[:, :, 3], jnp.int32)
+    return {
+        "t": arr[:, :, 0].reshape(tiles, RT),
+        "u": arr[:, :, 1].reshape(tiles, RT),
+        "v": arr[:, :, 2].reshape(tiles, RT),
+        "tri": tri.reshape(tiles, RT),
+    }

@@ -39,6 +39,9 @@ class Renderer:
         cluster_size: int = 64,
         max_pairs_per_ray: int = 24,
         max_visits: int = 12,
+        use_pallas: str | bool = "auto",
+        culling: str = "auto",
+        candidate_dtype: str = "float32",
         restir_config=None,
         restir_fn: Optional[Callable] = None,
         donate: bool = True,
@@ -47,6 +50,10 @@ class Renderer:
         self.config = config
         self.accel_kind = accel
         self.frame_stats: Dict[str, float] = {}
+        if use_pallas == "auto":
+            # the fused Pallas visit kernel is the TPU fast path; XLA scan
+            # elsewhere (Pallas interpret mode is slow on CPU)
+            use_pallas = jax.default_backend() == "tpu"
         if accel == "tiled":
             # tiled-stream MXU intersector (default): ray-tile x cluster
             # batched Moller-Trumbore matmuls; the TPU-fast path
@@ -57,7 +64,9 @@ class Renderer:
                 scene.tri_pos, cluster_size=cluster_size
             )
             isect, occl = tiled.tiled_intersectors(
-                self.clusters, max_visits=max_visits
+                self.clusters, max_visits=max_visits,
+                use_pallas=bool(use_pallas), culling=culling,
+                candidate_dtype=candidate_dtype,
             )
         elif accel == "stream":
             # first-generation pair-stream intersector (kept for comparison)

@@ -10,6 +10,7 @@ per-ray CUDA kernel. The `SurfaceData` struct mirrors
 from __future__ import annotations
 
 import chex
+import jax
 import jax.numpy as jnp
 
 from ..core import vecmath as vm
@@ -68,7 +69,8 @@ def _attr_table(scene: SceneData) -> jnp.ndarray:
             scene.tri_tangent.reshape(n, 12),        # 18:30
             scene.materials.packed()[scene.tri_mat], # 30:30+MW
             mode[:, None].astype(jnp.float32),       # 30+MW
-            override,                                # last 3
+            override,                                # 31+MW:34+MW
+            scene.tri_mat[:, None].astype(jnp.float32),  # 34+MW (exact <2^24)
         ],
         axis=1,
     )
@@ -87,10 +89,11 @@ def extract_surface_data(
     tri = jnp.maximum(hit_tri, 0)
 
     mw = scene.materials.packed().shape[1]
-    att = _attr_table(scene)[tri]    # (R, 34+mw) — THE per-ray gather
-    nrm3 = att[:, 3:12].reshape(-1, 3, 3)
-    uv3 = att[:, 12:18].reshape(-1, 3, 2)
-    tan3 = att[:, 18:30].reshape(-1, 3, 4)
+    att = _attr_table(scene)[tri]    # (R, 35+mw) — THE per-ray gather
+    # Barrier: many downstream fusions consume `att`; without it XLA
+    # duplicates the (R,~57) gather into each consumer fusion (measured 4x
+    # the gather cost at 1440p). One materialization, then cheap slices.
+    att = jax.lax.optimization_barrier(att)
 
     w = (1.0 - hit_u - hit_v)[..., None]
     u_ = hit_u[..., None]
@@ -100,12 +103,14 @@ def extract_surface_data(
     # both downstream values and reverse-mode cotangents.
     t_safe = jnp.where(valid, hit_t, 1.0)
     position = ray_o + t_safe[..., None] * ray_d
-    normal = vm.normalize(w * nrm3[:, 0] + u_ * nrm3[:, 1] + v_ * nrm3[:, 2])
-    uv = w * uv3[:, 0] + u_ * uv3[:, 1] + v_ * uv3[:, 2]
+    # column-sliced barycentric interp: rank-3 (R,3,3) reshapes get
+    # (8,128)-tiled minor dims on TPU — measured ~25 ms/pass at 1440p
+    normal = vm.normalize(w * att[:, 3:6] + u_ * att[:, 6:9] + v_ * att[:, 9:12])
+    uv = w * att[:, 12:14] + u_ * att[:, 14:16] + v_ * att[:, 16:18]
     tangent = vm.normalize(
-        w * tan3[:, 0, :3] + u_ * tan3[:, 1, :3] + v_ * tan3[:, 2, :3]
+        w * att[:, 18:21] + u_ * att[:, 22:25] + v_ * att[:, 26:29]
     )
-    handed = jnp.sign(tan3[:, 0, 3] + 1e-8)
+    handed = jnp.sign(att[:, 21] + 1e-8)
     geo_normal = att[:, 0:3]
     # orient shading normal to the geometric side facing the ray
     front_face = vm.dot(geo_normal, -ray_d) >= 0.0
@@ -118,7 +123,9 @@ def extract_surface_data(
 
     rows = att[:, 30:30 + mw]
     g = GatheredMaterial(rows)
-    mat_idx = scene.tri_mat[tri]
+    # mat index rides the attr table as an exact float column — a separate
+    # int (R,) gather of tri_mat measured 38 ms at 1440p
+    mat_idx = att[:, 34 + mw].astype(jnp.int32)
     # static fast path: a trivial atlas (only the builtin white texel) means
     # no material references any texture — skip all sampling gathers
     has_textures = scene.textures.count > 1

@@ -448,7 +448,9 @@ def tiled_intersectors(cs: ClusterSet, max_visits: int = 12,
         res = intersect_closest(cs, o, d, tn, tx, max_visits=max_visits,
                                 candidate_dtype=candidate_dtype,
                                 use_pallas=use_pallas, culling=culling)
-        return {q: res[q] for q in ("t", "tri", "u", "v")}
+        # overflow is surfaced (ADVICE r1): the wavefront loop ORs it into an
+        # AOV so truncated visit lists are never silently dropped
+        return {q: res[q] for q in ("t", "tri", "u", "v", "overflow")}
 
     def occl(o, d, tn, tx):
         return intersect_any(cs, o, d, tn, tx, max_visits=max_visits,

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..core import sampling
@@ -42,22 +43,56 @@ def all_light_radiance(scene: SceneData) -> jnp.ndarray:
     return scene.light_radiance(jnp.arange(lights.capacity, dtype=jnp.int32))
 
 
+def build_light_cdf(scene: SceneData, light_rad_all=None):
+    """Power-weighted light-selection CDF, built once per frame.
+
+    ≙ the reference's per-frame radiance CDF (`ReSTIR::BuildCDF`,
+    `Framework/ReSTIR.cpp:235-262`) that `GPUShadeDirect.cu:83` samples
+    from: weights = luminance * area, cumsum replaces thrust inclusive_scan.
+    Returns (cdf (L,), sel_pdf (L,)); sampling machinery, detached.
+    """
+    lights = scene.lights
+    idx = jnp.arange(lights.capacity)
+    rad = light_rad_all if light_rad_all is not None else scene.light_radiance(idx)
+    w = vm.luminance(jax.lax.stop_gradient(rad)) * lights.area
+    w = jnp.where(idx < lights.count, jnp.maximum(w, 0.0), 0.0)
+    total = jnp.sum(w)
+    # degenerate all-zero: uniform over valid lights
+    w = jnp.where(total > 0, w, (idx < lights.count).astype(jnp.float32))
+    cdf = jnp.cumsum(w)
+    total = jnp.maximum(cdf[-1], 1e-20)
+    return cdf / total, w / total
+
+
 def sample_light(
     scene: SceneData,
     u: jnp.ndarray,
     shading_pos: jnp.ndarray,
     light_rad_all: jnp.ndarray | None = None,
+    cdf: jnp.ndarray | None = None,
+    sel_pdf_all: jnp.ndarray | None = None,
 ) -> LightSample:
-    """Uniformly pick one of the scene's triangle lights and a point on it.
+    """Pick one of the scene's triangle lights and a point on it.
 
     u: (R,3) uniforms — u[:,0] selects the light, u[:,1:3] the point.
-    The M5 ReSTIR path replaces uniform selection with CDF/reservoir sampling.
+    With (cdf, sel_pdf_all) the selection is radiance-weighted
+    (≙ `GPUShadeDirect.cu:83` CDF sampling); without, uniform.
     """
     lights = scene.lights
     n_lights = jnp.maximum(lights.count, 1)
-    idx = jnp.minimum(
-        (u[:, 0] * n_lights.astype(jnp.float32)).astype(jnp.int32), n_lights - 1
-    )
+    if cdf is not None:
+        idx = jnp.clip(
+            jnp.searchsorted(cdf, u[:, 0], side="right"), 0, cdf.shape[0] - 1
+        ).astype(jnp.int32)
+        sel_pdf = sel_pdf_all[idx]
+    else:
+        idx = jnp.minimum(
+            (u[:, 0] * n_lights.astype(jnp.float32)).astype(jnp.int32),
+            n_lights - 1,
+        )
+        sel_pdf = jnp.full(idx.shape, 1.0, jnp.float32) / n_lights.astype(
+            jnp.float32
+        )
     bary = sampling.sample_triangle(u[:, 1:3])
     row = lights.packed[idx]                       # ONE gather: p0,e1,e2,n,area
     p0, e1, e2 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
@@ -72,9 +107,14 @@ def sample_light(
     dist = vm.length(to_light)
     wi = to_light / jnp.maximum(dist[..., None], 1e-8)
     cos_light = vm.dot(nrm, -wi)  # light emits from its front face
-    sel_pdf = 1.0 / n_lights.astype(jnp.float32)
     pdf_area = sel_pdf / jnp.maximum(area, 1e-12)
-    valid = (lights.count > 0) & (cos_light > 1e-6) & (area > 1e-12) & (dist > 1e-5)
+    valid = (
+        (lights.count > 0)
+        & (cos_light > 1e-6)
+        & (area > 1e-12)
+        & (dist > 1e-5)
+        & (sel_pdf > 0.0)
+    )
     return LightSample(
         light_idx=idx,
         point=point,
@@ -99,11 +139,13 @@ def light_pdf_solid_angle(
     wi: jnp.ndarray,
     hit_t: jnp.ndarray,
     hit_tri: jnp.ndarray,
+    sel_pdf_all: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Solid-angle pdf that NEE would have used for direction wi hitting
     triangle `hit_tri` at distance `hit_t` (for MIS weighting of BSDF hits).
 
     Uses the precomputed (T,) tri→light inverse table, a single gather.
+    sel_pdf_all: per-light selection pdf (CDF mode); None = uniform.
     """
     lights = scene.lights
     row = lights.tri_to_light[jnp.maximum(hit_tri, 0)]
@@ -113,7 +155,10 @@ def light_pdf_solid_angle(
     area = prow[:, 12]
     nrm = prow[:, 9:12]
     cos_l = jnp.maximum(vm.dot(nrm, -wi), 0.0)
-    n_lights = jnp.maximum(lights.count, 1).astype(jnp.float32)
-    pdf_a = (1.0 / n_lights) / jnp.maximum(area, 1e-12)
+    if sel_pdf_all is not None:
+        sel = sel_pdf_all[row]
+    else:
+        sel = 1.0 / jnp.maximum(lights.count, 1).astype(jnp.float32)
+    pdf_a = sel / jnp.maximum(area, 1e-12)
     pdf_sa = pdf_a * hit_t * hit_t / jnp.maximum(cos_l, 1e-6)
     return jnp.where(found & (cos_l > 1e-6), pdf_sa, 0.0)

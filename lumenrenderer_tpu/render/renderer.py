@@ -137,7 +137,7 @@ class Renderer:
             )
             aux = {
                 k: out[k]
-                for k in ("depth", "normal", "albedo", "motion")
+                for k in ("depth", "normal", "albedo", "motion", "overflow")
                 if k in out
             }
             return new_st, aux

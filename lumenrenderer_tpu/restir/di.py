@@ -105,21 +105,13 @@ def init_state(n: int) -> RestirState:
 # CDF + light bags
 # ---------------------------------------------------------------------------
 
-def build_light_cdf(scene: SceneData) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def build_light_cdf(scene: SceneData, rad_all=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Power-weighted CDF over lights. ≙ BuildCDF (`ReSTIR.cpp:235-262`):
-    weights = luminance * area; cumsum replaces thrust::inclusive_scan."""
-    lights = scene.lights
-    idx = jnp.arange(lights.capacity)
-    rad = scene.light_radiance(idx)
-    w = vm.luminance(rad) * lights.area
-    w = jnp.where(idx < lights.count, jnp.maximum(w, 0.0), 0.0)
-    total = jnp.sum(w)
-    # degenerate all-zero: uniform over valid lights
-    w = jnp.where(total > 0, w, (idx < lights.count).astype(jnp.float32))
-    cdf = jnp.cumsum(w)
-    total = cdf[-1]
-    pdf = w / jnp.maximum(total, 1e-20)
-    return cdf / jnp.maximum(total, 1e-20), pdf
+    weights = luminance * area; cumsum replaces thrust::inclusive_scan.
+    (Shared implementation with NEE: integrator.nee.build_light_cdf.)"""
+    from ..integrator import nee as nee_mod
+
+    return nee_mod.build_light_cdf(scene, rad_all)
 
 
 def sample_cdf(cdf: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
@@ -139,12 +131,16 @@ def fill_light_bags(cdf: jnp.ndarray, cfg: RestirConfig, key) -> jnp.ndarray:
 # target pdf
 # ---------------------------------------------------------------------------
 
-def _target_phat(scene, sd, light_idx, bary, rad_all=None, detach_radiance=True):
+def _target_phat(scene, sd, light_idx, bary, rad_all=None, detach_radiance=True,
+                 at_position=None, at_normal=None, at_albedo_lum=None):
     """Unshadowed target p-hat in AREA measure at the pixel's surface:
     luminance(albedo/pi * L * cos_s * cos_l / d^2). ≙ the `Resample`
     re-evaluation (`ReSTIRKernels.cu:1259-1325`), with a Lambertian f
     approximation for the resampling target (full BSDF still shades).
-    rad_all: optional dense (L,3) radiance table (one gather instead of 4)."""
+    rad_all: optional dense (L,3) radiance table (one gather instead of 4).
+    at_*: evaluate at a different surface than sd's (unbiased combine
+    re-evaluates the winner at each contributing neighbour's surface,
+    ≙ CombineUnbiased `ReSTIRKernels.cu:1123-1199`)."""
     lights = scene.lights
     li = jnp.maximum(light_idx, 0)
     prow = lights.packed[li]                       # ONE gather
@@ -156,17 +152,24 @@ def _target_phat(scene, sd, light_idx, bary, rad_all=None, detach_radiance=True)
     rad = rad_all[li] if rad_all is not None else scene.light_radiance(li)
     if detach_radiance:
         rad = jax.lax.stop_gradient(rad)
-    to_l = p - sd.position[..., None, :] if p.ndim == 3 else p - sd.position
+    pos = at_position if at_position is not None else sd.position
+    nrm = at_normal if at_normal is not None else sd.normal
+    alb = (
+        at_albedo_lum
+        if at_albedo_lum is not None
+        else vm.luminance(sd.base_color)
+    )
+    to_l = p - pos[..., None, :] if p.ndim == pos.ndim + 1 else p - pos
     dist = jnp.maximum(vm.length(to_l), 1e-5)
     wi = to_l / dist[..., None]
-    if p.ndim == 3:
-        cos_s = jnp.maximum(vm.dot(sd.normal[..., None, :], wi), 0.0)
+    if p.ndim == nrm.ndim + 1:
+        cos_s = jnp.maximum(vm.dot(nrm[..., None, :], wi), 0.0)
     else:
-        cos_s = jnp.maximum(vm.dot(sd.normal, wi), 0.0)
-    cos_l = jnp.maximum(vm.dot(prow[..., 9:12], -wi), 0.0)
-    albedo_lum = vm.luminance(sd.base_color) / jnp.pi
-    if p.ndim == 3:
+        cos_s = jnp.maximum(vm.dot(nrm, wi), 0.0)
+    albedo_lum = alb / jnp.pi
+    if p.ndim == albedo_lum.ndim + 2:
         albedo_lum = albedo_lum[..., None]
+    cos_l = jnp.maximum(vm.dot(prow[..., 9:12], -wi), 0.0)
     g = cos_s * cos_l / (dist * dist)
     return albedo_lum * vm.luminance(rad) * g, wi, dist
 
@@ -175,7 +178,8 @@ def _target_phat(scene, sd, light_idx, bary, rad_all=None, detach_radiance=True)
 # passes
 # ---------------------------------------------------------------------------
 
-def ris_primary(scene, sd, bags, bag_pdf, cfg: RestirConfig, width, key):
+def ris_primary(scene, sd, bags, bag_pdf, cfg: RestirConfig, width, key,
+                rad_all=None):
     """Per-pixel RIS of `candidates` bag samples.
     ≙ PickPrimarySamples (`ReSTIRKernels.cu:372-522`)."""
     n = sd.position.shape[0]
@@ -202,7 +206,7 @@ def ris_primary(scene, sd, bags, bag_pdf, cfg: RestirConfig, width, key):
 
     area = scene.lights.packed[cand_light][..., 12]
     p_cand = cand_pdf_sel / jnp.maximum(area, 1e-12)     # area-measure pdf
-    phat, _, _ = _target_phat(scene, sd, cand_light, bary)
+    phat, _, _ = _target_phat(scene, sd, cand_light, bary, rad_all=rad_all)
     w = jnp.where(p_cand > 0, phat / jnp.maximum(p_cand, 1e-20), 0.0)  # (N,C)
 
     # streaming reservoir update, vectorized over pixels via cumulative trick:
@@ -232,19 +236,32 @@ def ris_primary(scene, sd, bags, bag_pdf, cfg: RestirConfig, width, key):
     )
 
 
-def visibility_pass(scene, sd, res: Reservoir, occlude_fn, hit_mask):
-    """Zero reservoirs whose chosen sample is occluded.
-    ≙ VisibilityCheck + RESTIR_RAY raygen (`ReSTIR.cpp:291-317`,
-    `WaveFrontShaders.cu:181-216`)."""
-    phat, wi, dist = _target_phat(scene, sd, res.light_idx, res.bary)
+def visibility_pass(scene, sd, res: Reservoir, occlude_fn, hit_mask,
+                    rad_all=None, volumes=None, vol_key=None):
+    """Zero reservoirs whose chosen sample is occluded; participating media
+    attenuate the reservoir weight by their transmittance (≙ VisibilityCheck
+    + RESTIR_RAY raygen, `ReSTIR.cpp:291-317`, `WaveFrontShaders.cu:181-216`,
+    plus the volumetric shadow rays of `WaveFrontRenderer.cpp:858-871`)."""
+    phat, wi, dist = _target_phat(scene, sd, res.light_idx, res.bary,
+                                  rad_all=rad_all)
     o = sd.position + sd.geo_normal * SHADOW_EPS
     occluded = occlude_fn(
         o, wi, jnp.asarray(SHADOW_EPS, jnp.float32), dist - 2 * SHADOW_EPS
     )
     kill = occluded | ~hit_mask
+    v_tr = 1.0
+    if volumes is not None:
+        from ..volume import march as vmarch
+
+        v_tr = jax.lax.stop_gradient(
+            vmarch.transmittance_only(
+                volumes, o, wi, jnp.asarray(SHADOW_EPS, jnp.float32),
+                jnp.where(kill, 0.0, dist - 2 * SHADOW_EPS), key=vol_key,
+            )
+        )
     return res.replace(
-        w_out=jnp.where(kill, 0.0, res.w_out),
-        w_sum=jnp.where(kill, 0.0, res.w_sum),
+        w_out=jnp.where(kill, 0.0, res.w_out * v_tr),
+        w_sum=jnp.where(kill, 0.0, res.w_sum * v_tr),
     )
 
 

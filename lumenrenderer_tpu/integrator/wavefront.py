@@ -170,14 +170,11 @@ def render_wavefront(
 
     t_min = jnp.asarray(RAY_EPS, f32)
     t_max = camera.t_max
-    # dense per-light radiance (differentiable), once per frame — turns the
-    # per-ray light-data access into a single packed gather
-    light_rad_all = nee_mod.all_light_radiance(scene)
-    # per-frame radiance-weighted light-selection CDF (≙ GPUShadeDirect.cu:83)
-    if cfg.light_selection == "cdf":
-        light_cdf, light_sel_pdf = nee_mod.build_light_cdf(scene, light_rad_all)
-    else:
-        light_cdf = light_sel_pdf = None
+    # packed per-frame light table: geometry + differentiable radiance +
+    # selection pdf in ONE (L,17) matrix; per-ray selection+fetch is a single
+    # one-hot matmul (≙ GPUShadeDirect.cu:83 CDF sampling, re-architected
+    # MXU-first — the round-2 searchsorted cost 238 ms/call at 1440p)
+    light_table = nee_mod.build_light_table(scene, cfg.light_selection)
 
     if cfg.sort_secondary:
         from ..accel import sorting as sorting_mod
@@ -234,7 +231,7 @@ def render_wavefront(
             vkey = jax.random.fold_in(dkey, 23)
             seg_max = jnp.where(sd.valid, hits["t"], jnp.asarray(1e8, f32))
             v_scatter, v_trans = vmarch.volume_scatter(
-                scene.volumes, scene, ray_o, ray_d, t_min, seg_max, vkey,
+                scene.volumes, light_table, ray_o, ray_d, t_min, seg_max, vkey,
                 occlude_fn, steps=cfg.volume_steps,
                 detach_sampling=cfg.detach_sampling,
             )
@@ -279,8 +276,7 @@ def render_wavefront(
             indirect = indirect + jnp.where(hit_mask[:, None], em, 0.0)
         elif cfg.light_strategy == "mis":
             lpdf = nee_mod.light_pdf_solid_angle(
-                scene, ray_o, ray_d, hits["t"], hits["tri"],
-                sel_pdf_all=light_sel_pdf,
+                light_table, ray_d, hits["t"], sd.light_row
             )
             w = jnp.where(
                 prev_specular, 1.0, sg(sampling.power_heuristic(prev_pdf, lpdf))
@@ -317,10 +313,7 @@ def render_wavefront(
         elif do_nee:
             nkey = jax.random.fold_in(dkey, 1)
             u3 = jax.random.uniform(nkey, (n, 3))
-            ls = nee_mod.sample_light(
-                scene, u3, sd.position, light_rad_all,
-                cdf=light_cdf, sel_pdf_all=light_sel_pdf,
-            )
+            ls = nee_mod.sample_light(light_table, u3, sd.position)
             cos_s = vm.dot(sd.normal, ls.wi)
             f_val, bsdf_pdf = _bsdf_eval(cfg, sd, scene.materials, wo, ls.wi)
             pdf_sa = nee_mod.pdf_solid_angle(ls)

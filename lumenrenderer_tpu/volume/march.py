@@ -41,7 +41,7 @@ def _aabb_segment(lo, hi, o, d, t_min, t_max):
 def march_single_volume(
     vols: grid_mod.VolumeSet,
     v: int,
-    scene,
+    light_table,
     o: jnp.ndarray,
     d: jnp.ndarray,
     t_min: jnp.ndarray,
@@ -84,7 +84,7 @@ def march_single_volume(
         if light_samples:
             lkey = jax.random.fold_in(key, 100 + i)
             u3 = jax.random.uniform(lkey, (r, 3))
-            ls = nee_mod.sample_light(scene, u3, pos)  # (rad gather per step; volumes rarely dominate)
+            ls = nee_mod.sample_light(light_table, u3, pos)
             pdf_sa = nee_mod.pdf_solid_angle(ls)
             occluded = occlude_fn(
                 pos, ls.wi, jnp.asarray(1e-3, jnp.float32), ls.dist - 2e-3
@@ -104,7 +104,7 @@ def march_single_volume(
 
 def volume_scatter(
     vols: grid_mod.VolumeSet,
-    scene,
+    light_table,
     o,
     d,
     t_min,
@@ -120,7 +120,7 @@ def volume_scatter(
     scatter = jnp.zeros((o.shape[0], 3), jnp.float32)
     for v in range(vols.count):
         s, t = march_single_volume(
-            vols, v, scene, o, d, t_min, t_max,
+            vols, v, light_table, o, d, t_min, t_max,
             jax.random.fold_in(key, v), occlude_fn, steps=steps,
             detach_sampling=detach_sampling,
         )

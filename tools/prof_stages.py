@@ -90,9 +90,11 @@ def main():
     t_eval = timeit("disney evaluate", j_eval, sd, wo, bd)
     t_samp = timeit("disney sample", j_samp, sd, wo, u4, key)
 
-    rad_all = nee_mod.all_light_radiance(sc)
+    ltab = jax.jit(nee_mod.build_light_table, static_argnames=("selection",))(
+        sc, selection="cdf"
+    )
     u3 = jax.random.uniform(jax.random.PRNGKey(3), (N, 3))
-    j_nee = jax.jit(lambda u, p: nee_mod.sample_light(sc, u, p, rad_all))
+    j_nee = jax.jit(lambda u, p: nee_mod.sample_light(ltab, u, p))
     t_nee = timeit("nee sample_light", j_nee, u3, sd.position)
 
     j_prim = jax.jit(

@@ -204,8 +204,11 @@ def _intersect_tiles(
 
     f = rf[prc]                                 # (T,P,10) one gather
     feats = cs.tri_feat[tc]                     # (T,10,4K)
+    # HIGHEST: the TPU matmul default is one bf16 pass — not enough for
+    # geometric hit predicates (see accel/tiled.py)
     res = jnp.einsum(
-        "tpf,tfk->tpk", f, feats, preferred_element_type=jnp.float32
+        "tpf,tfk->tpk", f, feats, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     det = res[..., 0 * k : 1 * k]
     ok = jnp.abs(det) > 1e-12

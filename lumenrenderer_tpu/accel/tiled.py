@@ -280,7 +280,10 @@ def _query(cs: ClusterSet, origins, dirs, t_min, t_max,
     k_bits = max((k - 1).bit_length(), 1)
     s_bits = max((mv - 1).bit_length(), 1)
     low_bits = k_bits + s_bits
-    assert low_bits <= 13, f"packed-key layout overflow: {k=} {mv=}"
+    # low_bits eat float-t mantissa resolution in the ordering key: 15 low
+    # bits leave 8 mantissa bits => winner unique to ~2^-8 relative t (exact
+    # t/u/v are re-derived for the winner, so ties just pick a co-near tri)
+    assert low_bits <= 15, f"packed-key layout overflow: {k=} {mv=}"
     low_mask = jnp.int32(~((1 << low_bits) - 1))
     KEY_MISS = jnp.int32(0x7F000000)
 
@@ -303,8 +306,11 @@ def _query(cs: ClusterSet, origins, dirs, t_min, t_max,
                 preferred_element_type=jnp.float32,
             )
         else:
+            # explicit HIGHEST: the TPU matmul default is one bf16 pass,
+            # which silently turns "float32" candidates into bf16 ones
             res = jnp.einsum(
-                "trf,tfc->trc", rf, feats, preferred_element_type=jnp.float32
+                "trf,tfc->trc", rf, feats, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
         det = res[..., 0 * k : 1 * k]
         okd = jnp.abs(det) > 1e-12
@@ -335,7 +341,9 @@ def _query(cs: ClusterSet, origins, dirs, t_min, t_max,
     if use_pallas:
         # fused visit-adaptive Pallas kernel (see ops/pallas/intersect.py):
         # per-tile fori_loop over its actual visits, double-buffered feature
-        # DMA, decode+key-min resident in VMEM, ordered early-out
+        # DMA, packed-key min resident in VMEM, ordered early-out. Returns
+        # keys only; the exact winner decode below is SHARED with the scan
+        # path (the earlier in-kernel value pick mis-compiled under Mosaic).
         import jax as _jax
 
         from ..ops.pallas import intersect as pk
@@ -366,18 +374,10 @@ def _query(cs: ClusterSet, origins, dirs, t_min, t_max,
                 "occluded": occ_f,
                 "overflow": overflow,
             }
-        # winner t/u/v/tri selected in-kernel — no host-side decode gathers
-        flatp = lambda a: a.reshape(rp)[:r]
-        tri_f = flatp(out["tri"])
-        found = tri_f >= 0
-        return {
-            "t": jnp.where(found, flatp(out["t"]), jnp.inf),
-            "tri": jnp.where(found, tri_f, -1),
-            "u": jnp.where(found, flatp(out["u"]), 0.0),
-            "v": jnp.where(found, flatp(out["v"]), 0.0),
-            "occluded": found,
-            "overflow": overflow,
-        }
+        # dead lanes carry key 0 in-kernel (early-out); mask them to miss
+        best_key = jnp.where(
+            (tx < tn).reshape(tiles, RAY_TILE), jnp.int32(KEY_MISS), out
+        )
     else:
         init = (
             jnp.full((tiles, RAY_TILE), KEY_MISS, jnp.int32),
@@ -386,18 +386,17 @@ def _query(cs: ClusterSet, origins, dirs, t_min, t_max,
         (best_key, occ), _ = jax.lax.scan(
             step, init, (order.T, valid_k.T, step_ids)
         )
-    flat = lambda a: a.reshape(-1)[:r]
-    occ_f = flat(occ)
-    if not closest:
-        return {
-            "t": jnp.full((r,), jnp.inf),
-            "tri": jnp.full((r,), -1, jnp.int32),
-            "u": jnp.zeros((r,)),
-            "v": jnp.zeros((r,)),
-            "occluded": occ_f,
-            "overflow": overflow,
-        }
+        if not closest:
+            return {
+                "t": jnp.full((r,), jnp.inf),
+                "tri": jnp.full((r,), -1, jnp.int32),
+                "u": jnp.zeros((r,)),
+                "v": jnp.zeros((r,)),
+                "occluded": occ.reshape(-1)[:r],
+                "overflow": overflow,
+            }
 
+    flat = lambda a: a.reshape(-1)[:r]
     # decode winner + ONE coefficient gather for exact t,u,v
     bk = flat(best_key)
     found = bk < KEY_MISS
@@ -409,7 +408,9 @@ def _query(cs: ClusterSet, origins, dirs, t_min, t_max,
     # coefficient columns of the winning triangle — ONE (R,10,4) gather
     cols = cs.tri_feat.reshape(c, 10, 4, k)[jnp.maximum(cluster, 0), :, :, k_win]
     rf_r = ray_features(origins, dirs)
-    res4 = jnp.einsum("rf,rfc->rc", rf_r, cols, preferred_element_type=jnp.float32)
+    res4 = jnp.einsum("rf,rfc->rc", rf_r, cols,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     det = res4[:, 0]
     okd = jnp.abs(det) > 1e-12
     inv = jnp.where(okd, 1.0 / jnp.where(okd, det, 1.0), 0.0)
@@ -422,7 +423,7 @@ def _query(cs: ClusterSet, origins, dirs, t_min, t_max,
         "tri": jnp.where(found, tri_g, -1),
         "u": jnp.where(found, u_e, 0.0),
         "v": jnp.where(found, v_e, 0.0),
-        "occluded": occ_f,
+        "occluded": found,
         "overflow": overflow,
     }
 

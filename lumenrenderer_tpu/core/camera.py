@@ -176,7 +176,10 @@ def motion_vectors(
     """
     n = world_pos.shape[0]
     hp = jnp.concatenate([world_pos, jnp.ones((n, 1), world_pos.dtype)], axis=-1)
-    clip = hp @ camera.prev_view_proj.T
+    # HIGHEST: TPU default matmul is one bf16 pass — reprojection needs
+    # subpixel accuracy for ReSTIR temporal reuse
+    clip = jnp.matmul(hp, camera.prev_view_proj.T,
+                      precision=jax.lax.Precision.HIGHEST)
     ndc = clip[:, :2] / jnp.where(jnp.abs(clip[:, 3:4]) > 1e-8, clip[:, 3:4], 1.0)
     prev_px = (ndc[:, 0] * 0.5 + 0.5) * width
     prev_py = (0.5 - ndc[:, 1] * 0.5) * height

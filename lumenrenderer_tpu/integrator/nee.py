@@ -115,7 +115,10 @@ def _rows_by_index(table: LightTable, idx: jnp.ndarray) -> jnp.ndarray:
     idx = jnp.clip(idx, 0, L - 1).astype(jnp.int32)
     if L <= ONEHOT_MAX_L:
         oh = jax.nn.one_hot(idx, L, dtype=jnp.float32)
-        return oh @ table.aug
+        # HIGHEST: default TPU matmul precision would round the gathered
+        # light geometry to bf16 (one-hot entries are exact either way)
+        return jnp.matmul(oh, table.aug,
+                          precision=jax.lax.Precision.HIGHEST)
     return table.aug[idx]
 
 

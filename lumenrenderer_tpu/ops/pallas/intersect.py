@@ -19,18 +19,27 @@ count is ~7.6. This kernel fixes both:
   pipelined by a scalar-prefetch BlockSpec so the first-visit latency hides
   behind the previous program.
 - the Möller–Trumbore bilinear form runs as a natural (128,10)x(10,4K) MXU
-  matmul — rays on sublanes, candidates on lanes — so hit-decode, packed-key
-  min (a lane reduction) and the (128,1) per-ray accumulator involve zero
-  relayouts.
-- division-free sign-test decode; ONE exact reciprocal for the ordering key.
+  matmul — rays on sublanes, candidates on lanes — so hit-decode and the
+  packed-key min (a lane reduction) involve zero relayouts.
+- division-free sign-test decode; ONE polished reciprocal for the ordering
+  key.
 - ordered early-out: visits arrive sorted by conservative entry t; once every
   live ray's best hit is closer than the next cluster's entry, remaining
   visits skip their compute (the reference gets this from OptiX's guaranteed
   closest-hit traversal order).
 
+The kernel returns ONLY the packed winner key per ray (or the occlusion
+bit); exact winner t/u/v/tri are re-derived OUTSIDE the kernel with one
+coefficient gather + 10x4 einsum (shared with the XLA-scan path in
+accel/tiled.py). Round 3 lesson: the earlier in-kernel winner pick
+(masked cross-lane max of t/u/v/id) silently mis-compiled under Mosaic —
+keys and occlusion matched the XLA path bit-for-bit while picked VALUES
+rotted as visit count grew. Key-only output is simpler, measured-correct,
+and cheaper (no per-candidate reciprocal, one accumulator register).
+
 Packed key layout (shared with accel/tiled.py): positive-float t bits in the
 high bits (order-preserving), visit step and intra-cluster triangle id in the
-low `low_bits`; min(key) = nearest hit to 2^-11 relative t.
+low `low_bits`; min(key) = nearest hit to ~2^-(23-low_bits) relative t.
 """
 from __future__ import annotations
 
@@ -44,7 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 KEY_MISS = 0x7F000000  # python int: kernels must not capture traced constants
 RT = 128               # rays per tile (sublane dimension)
 FR = 16                # feature rows, padded from 10 for 8-aligned DMA slices
-NBUF = 6               # feature DMA pipeline depth (hides ~2 us HBM latency)
+NBUF = 6               # feature DMA slot count (pipeline depth NBUF-1)
 EVERY_N = 4            # early-out check cadence (vector->scalar sync cost)
 
 
@@ -81,29 +90,28 @@ def _make_kernel(k: int, mv: int, k_bits: int, low_bits: int, closest: bool):
                 feats_ref.at[srow[row, i]], fbuf.at[slot], sems.at[slot]
             )
 
-        # deep prologue: HBM DMA latency >> per-visit compute, so keep NBUF
-        # descriptors in flight (visit 0 is pipelined via its BlockSpec)
-        for j in range(1, NBUF + 1):
+        # deep prologue: HBM DMA latency >> per-visit compute, so keep
+        # NBUF-1 descriptors in flight (visit 0 is pipelined via its
+        # BlockSpec). NOT NBUF: a depth-NBUF pipeline wraps the write of
+        # dma(i+NBUF) onto slot (i-1)%NBUF — the very slot iteration i is
+        # feeding to the MXU — and no dependency orders that DMA after the
+        # reads.
+        for j in range(1, NBUF):
             @pl.when(n > j)
             def _(j=j):
                 dma(j).start()
 
         if closest:
-            # dead lanes start at key 0 so they never block early-out; their
-            # id stays -1 so they decode as misses.
-            key0 = jnp.where(dead, 0, KEY_MISS).astype(jnp.int32)
-            acc0 = (key0,
-                    jnp.full((RT, 1), jnp.inf, jnp.float32),
-                    jnp.zeros((RT, 1), jnp.float32),
-                    jnp.zeros((RT, 1), jnp.float32),
-                    jnp.full((RT, 1), -1, jnp.int32))
+            # dead lanes start at key 0 so they never block early-out; the
+            # host-side decode masks them back to miss.
+            acc0 = jnp.where(dead, 0, KEY_MISS).astype(jnp.int32)
         else:
-            acc0 = (dead.astype(jnp.int32),)  # dead lanes count as occluded
+            acc0 = dead.astype(jnp.int32)  # dead lanes count as occluded
 
         kid = jax.lax.broadcasted_iota(jnp.int32, (RT, k), 1)
 
         def body(i, carry):
-            done, acc = carry[0], carry[1:]
+            done, acc = carry
 
             @pl.when(i > 0)
             def _():
@@ -113,11 +121,16 @@ def _make_kernel(k: int, mv: int, k_bits: int, low_bits: int, closest: bool):
             feats = jnp.where(i == 0, first_ref[0], fbuf[slot])  # (16, 4K)
 
             def compute(acc):
-                # MT bilinear form: rays on sublanes, candidates on lanes
+                # MT bilinear form: rays on sublanes, candidates on lanes.
+                # precision=HIGHEST: the TPU default is ONE bf16 pass, whose
+                # 2^-8 operand rounding flips hit predicates near edges
+                # (measured: 2.8% phantom occlusions, 13% wrong winners on
+                # the interior scene) — geometry tests need f32 fidelity.
                 res = jax.lax.dot_general(
                     rfm, feats[:10],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )                               # (128, 4K)
                 det = res[:, 0 * k:1 * k]
                 un = res[:, 1 * k:2 * k]
@@ -138,37 +151,17 @@ def _make_kernel(k: int, mv: int, k_bits: int, low_bits: int, closest: bool):
                 )
                 if not closest:
                     occ = jnp.any(hit, axis=1, keepdims=True)
-                    return (acc[0] | occ.astype(jnp.int32),)
-                # exact t/u/v for every candidate (one reciprocal), and the
-                # winner picked IN-kernel: the packed key is unique per
-                # candidate (kid in the low bits), so key == min(key)
-                # matches exactly one lane — no host-side winner gathers.
-                acc_key, acc_t, acc_u, acc_v, acc_id = acc
-                inv = pl.reciprocal(jnp.where(ad > 1e-12, ad, 1.0),
-                                    approx=False)
+                    return acc | occ.astype(jnp.int32)
+                # ordering key: approximate t (one polished reciprocal);
+                # exact winner values are re-derived host-side from the key
+                ad_safe = jnp.where(ad > 1e-12, ad, 1.0)
+                inv = pl.reciprocal(ad_safe, approx=True)
+                inv = inv * (2.0 - ad_safe * inv)
                 tval = ts * inv
                 tb = pltpu.bitcast(jnp.maximum(tval, 0.0), jnp.int32)
                 key = (tb & jnp.int32(low_mask)) | (i << k_bits) | kid
                 key = jnp.where(hit, key, jnp.int32(KEY_MISS))
-                kmin = jnp.min(key, axis=1, keepdims=True)      # (128,1)
-                improved = kmin < acc_key
-                mask = (key == kmin) & improved                 # one lane
-                big = jnp.float32(3.0e38)
-                ids = pltpu.bitcast(feats[10:11, 3 * k:4 * k], jnp.int32)
-                pick = lambda vq: jnp.max(
-                    jnp.where(mask, vq, -big), axis=1, keepdims=True
-                )
-                new_t = jnp.where(improved, pick(tval), acc_t)
-                new_u = jnp.where(improved, pick(us * inv), acc_u)
-                new_v = jnp.where(improved, pick(vs * inv), acc_v)
-                new_id = jnp.where(
-                    improved,
-                    jnp.max(jnp.where(mask, ids, jnp.int32(-0x7FFFFFFF)),
-                            axis=1, keepdims=True),
-                    acc_id,
-                )
-                return (jnp.minimum(acc_key, kmin), new_t, new_u, new_v,
-                        new_id)
+                return jnp.minimum(acc, jnp.min(key, axis=1, keepdims=True))
 
             # lax.cond (not where): the skip must actually elide the compute
             new_acc = jax.lax.cond(done, lambda a: a, compute, acc)
@@ -179,33 +172,27 @@ def _make_kernel(k: int, mv: int, k_bits: int, low_bits: int, closest: bool):
                 if closest:
                     # ordered early-out: next visit's conservative entry t
                     nxt = trow[row, jnp.minimum(i + 1, mv - 1)]
-                    best_hi = jnp.max(new_acc[0]) >> low_bits
+                    best_hi = jnp.max(new_acc) >> low_bits
                     return done | (best_hi < (nxt >> low_bits))
-                return done | (jnp.min(new_acc[0]) > 0)
+                return done | (jnp.min(new_acc) > 0)
 
             new_done = jax.lax.cond(
                 jax.lax.rem(i, EVERY_N) == EVERY_N - 1,
                 check, lambda _: done, 0,
             )
 
-            # prologue already started visits 1..NBUF
-            @pl.when((i >= 1) & (i + NBUF < n))
+            # prologue already started visits 1..NBUF-1; keep NBUF-1 in
+            # flight (slot (i+NBUF-2)%NBUF, never the slot read at i)
+            @pl.when((i >= 1) & (i + NBUF - 1 < n))
             def _():
-                dma(i + NBUF).start()
+                dma(i + NBUF - 1).start()
 
-            return (new_done,) + new_acc
+            return (new_done, new_acc)
 
-        fin = jax.lax.fori_loop(0, n, body, (n <= 0,) + acc0)
-        # outputs are (T/8, 8, 128) blocks — the natural f32 tile, zero
+        _, fin = jax.lax.fori_loop(0, n, body, (n <= 0, acc0))
+        # outputs are (T/8, 8, 128) int32 blocks — the natural tile, zero
         # padding waste; each program writes its row (one small transpose)
-        if closest:
-            cat = jnp.concatenate(
-                [fin[2], fin[3], fin[4],
-                 pltpu.bitcast(fin[5], jnp.float32)], axis=1
-            )                                   # (128, 4): t, u, v, id-bits
-            out_ref[0, pl.ds(4 * row, 4), :] = cat.T
-        else:
-            out_ref[0, pl.ds(row, 1), :] = fin[1].astype(jnp.int32).T
+        out_ref[0, pl.ds(row, 1), :] = fin.astype(jnp.int32).T
 
     return kernel
 
@@ -220,26 +207,22 @@ def visit_scan(rf_t, feats, tri_id, sel, nv, tnb, *, k: int, mv: int,
     rf_t:  (T, 128, 12) f32 — cols 0-9 MT ray features, col 10 per-ray t_min,
            col 11 per-ray t_max (t_max < t_min = dead lane).
     feats: (C, 10, 4K) f32 cluster MT coefficients (ClusterSet.tri_feat).
-    tri_id:(C, K) i32 global triangle ids (-1 pad), ClusterSet.tri_id.
+    tri_id:(C, K) i32 global triangle ids (unused here; kept for signature
+           stability — winner decode happens in accel/tiled.py).
     sel:   (T, mv) i32 cluster ids per visit (sorted by entry t, 0-padded).
     nv:    (T,) i32 live visit count per tile.
     tnb:   (T, mv) i32 conservative entry-t float bits (KEY_MISS = invalid).
 
-    Returns: closest → dict {t, u, v, tri} of (T, 128) arrays (tri = -1 miss);
-    any → (T, 128) i32 occlusion 0/1.
+    Returns: (T, 128) i32 — closest: packed winner keys (>= KEY_MISS = miss;
+    dead lanes return 0, callers mask them); any: occlusion 0/1.
     T must be a multiple of 8 (visit lists are group-DMA'd per 8 tiles).
     """
     tiles = rf_t.shape[0]
     assert tiles % 8 == 0, tiles
     assert mv <= 128, mv
     fk = feats.shape[-1]
-    # pad feature rows 10 -> 16 (HBM DMA slices need 8-aligned sublanes) and
-    # ride the triangle ids in spare row 10, t-block lanes, as raw bits
+    # pad feature rows 10 -> 16 (HBM DMA slices need 8-aligned sublanes)
     feats16 = jnp.pad(feats, ((0, 0), (0, FR - feats.shape[1]), (0, 0)))
-    if closest:
-        idbits = jax.lax.bitcast_convert_type(tri_id.astype(jnp.int32),
-                                              jnp.float32)
-        feats16 = feats16.at[:, 10, 3 * k:4 * k].set(idbits)
     kernel = _make_kernel(k, mv, k_bits, low_bits, closest)
     # SMEM is ~1 MB: only the per-TILE scalars (first cluster id + visit
     # count) are scalar-prefetched; the (T, mv) visit lists are padded to
@@ -266,7 +249,7 @@ def visit_scan(rf_t, feats, tri_id, sel, nv, tnb, *, k: int, mv: int,
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 32 if closest else 8, RT), lambda t, sel0, nv: (t // 8, 0, 0),
+            (1, 8, RT), lambda t, sel0, nv: (t // 8, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -280,18 +263,7 @@ def visit_scan(rf_t, feats, tri_id, sel, nv, tnb, *, k: int, mv: int,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (tiles // 8, 32, RT), jnp.float32
-        ) if closest else jax.ShapeDtypeStruct((tiles // 8, 8, RT), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((tiles // 8, 8, RT), jnp.int32),
         interpret=interpret,
     )(sel0, nv, rf_t, selv, tnbv, feats16, feats16)
-    if not closest:
-        return out.reshape(tiles, RT)
-    arr = out.reshape(tiles // 8, 8, 4, RT)
-    tri = jax.lax.bitcast_convert_type(arr[:, :, 3], jnp.int32)
-    return {
-        "t": arr[:, :, 0].reshape(tiles, RT),
-        "u": arr[:, :, 1].reshape(tiles, RT),
-        "v": arr[:, :, 2].reshape(tiles, RT),
-        "tri": tri.reshape(tiles, RT),
-    }
+    return out.reshape(tiles, RT)

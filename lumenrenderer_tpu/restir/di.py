@@ -71,12 +71,17 @@ class Reservoir:
 
 @flax.struct.dataclass
 class RestirState:
-    """Temporal history: previous reservoirs + gbuffer for similarity gates."""
+    """Temporal history: previous reservoirs + gbuffer for similarity gates
+    and for the unbiased combine's re-evaluation at the history surface
+    (≙ the prev-frame pixel data CombineUnbiased reads,
+    `ReSTIRKernels.cu:1123-1199`)."""
 
     reservoir: Reservoir
-    prev_depth: jnp.ndarray   # (N,)
-    prev_normal: jnp.ndarray  # (N,3)
-    valid: jnp.ndarray        # () bool history valid (False on first frame)
+    prev_depth: jnp.ndarray    # (N,)
+    prev_normal: jnp.ndarray   # (N,3)
+    prev_position: jnp.ndarray # (N,3) world position (unbiased re-eval)
+    prev_albedo: jnp.ndarray   # (N,) albedo luminance (unbiased re-eval)
+    valid: jnp.ndarray         # () bool history valid (False on first frame)
 
 
 def empty_reservoir(n: int) -> Reservoir:
@@ -97,6 +102,8 @@ def init_state(n: int) -> RestirState:
         reservoir=empty_reservoir(n),
         prev_depth=jnp.zeros((n,), jnp.float32),
         prev_normal=jnp.zeros((n, 3), jnp.float32),
+        prev_position=jnp.zeros((n, 3), jnp.float32),
+        prev_albedo=jnp.zeros((n,), jnp.float32),
         valid=jnp.asarray(False),
     )
 
@@ -265,9 +272,14 @@ def visibility_pass(scene, sd, res: Reservoir, occlude_fn, hit_mask,
     )
 
 
-def _combine(res_a: Reservoir, res_b: Reservoir, phat_b_here, key):
-    """Biased combine of B into A at A's pixel (target pdfs re-evaluated at
-    A's surface). ≙ CombineBiased (`ReSTIRKernels.cu:1123-1257`)."""
+def _combine(scene, sd, res_a: Reservoir, res_b: Reservoir, phat_b_here, key,
+             rad_all=None, unbiased_at=None):
+    """Combine B into A at A's pixel (target pdfs re-evaluated at A's
+    surface). ≙ CombineBiased (`ReSTIRKernels.cu:1201-1257`) when
+    `unbiased_at` is None; with `unbiased_at=(pos_b, nrm_b, alb_b)` (stream
+    B's own surface) it is CombineUnbiased (`ReSTIRKernels.cu:1123-1199`):
+    the M denominator becomes Z = sum of stream M's at whose surface the
+    winner has nonzero target pdf."""
     w_a = res_a.p_hat * res_a.w_out * res_a.m
     w_b = phat_b_here * res_b.w_out * res_b.m
     w_sum = w_a + w_b
@@ -277,17 +289,31 @@ def _combine(res_a: Reservoir, res_b: Reservoir, phat_b_here, key):
     bary = jnp.where(pick_b[:, None], res_b.bary, res_a.bary)
     phat = jnp.where(pick_b, phat_b_here, res_a.p_hat)
     m = res_a.m + res_b.m
+    if unbiased_at is None:
+        denom_m = m
+    else:
+        pos_b, nrm_b, alb_b = unbiased_at
+        phat_at_b, _, _ = _target_phat(
+            scene, sd, light, bary, rad_all=rad_all,
+            at_position=pos_b, at_normal=nrm_b, at_albedo_lum=alb_b,
+        )
+        denom_m = res_a.m * (phat > 0) + res_b.m * (phat_at_b > 0)
     w_out = jnp.where(
-        phat > 0, w_sum / (jnp.maximum(m, 1e-6) * jnp.maximum(phat, 1e-20)), 0.0
+        phat > 0,
+        w_sum / (jnp.maximum(denom_m, 1e-6) * jnp.maximum(phat, 1e-20)),
+        0.0,
     )
     return Reservoir(
         light_idx=light, bary=bary, w_sum=w_sum, m=m, w_out=w_out, p_hat=phat
     )
 
 
-def temporal_pass(scene, sd, res, state: RestirState, motion, cfg, width, height, key):
+def temporal_pass(scene, sd, res, state: RestirState, motion, cfg, width,
+                  height, key, rad_all=None):
     """Motion-vector reprojected history combine with M clamp + similarity
-    gates. ≙ TemporalNeighbourSampling (`ReSTIRKernels.cu:983-1121`)."""
+    gates. ≙ TemporalNeighbourSampling (`ReSTIRKernels.cu:983-1121`).
+    cfg.biased=False re-evaluates the winner at the history surface
+    (≙ CombineUnbiased)."""
     n = res.m.shape[0]
     px = (jnp.arange(n) % width).astype(jnp.float32)
     py = (jnp.arange(n) // width).astype(jnp.float32)
@@ -316,78 +342,113 @@ def temporal_pass(scene, sd, res, state: RestirState, motion, cfg, width, height
         ),
         h,
     )
-    phat_here, _, _ = _target_phat(scene, sd, h.light_idx, h.bary)
+    phat_here, _, _ = _target_phat(scene, sd, h.light_idx, h.bary,
+                                   rad_all=rad_all)
     phat_here = jnp.where(ok, phat_here, 0.0)
-    return _combine(res, h, phat_here, key)
+    unbiased_at = None
+    if not cfg.biased:
+        unbiased_at = (
+            state.prev_position[prev_i],
+            state.prev_normal[prev_i],
+            state.prev_albedo[prev_i],
+        )
+    return _combine(scene, sd, res, h, phat_here, key, rad_all=rad_all,
+                    unbiased_at=unbiased_at)
 
 
 def sd_depth(sd):
     return vm.length(sd.position)  # radial depth proxy for similarity
 
 
-def spatial_pass(scene, sd, res, hit_mask, cfg, width, height, key):
+def spatial_pass(scene, sd, res, hit_mask, cfg, width, height, key,
+                 rad_all=None):
     """`spatial_iterations` rounds of `spatial_samples` random neighbours in
-    `spatial_radius`, biased combine with similarity gates.
+    `spatial_radius`, combine with similarity gates.
     ≙ SpatialNeighbourSampling (`ReSTIRKernels.cu:745-980`) — the ping-pong
-    buffer pair becomes a functional fold."""
+    buffer pair becomes a functional fold, and the per-neighbour loop is
+    vectorized to ONE (N,S) batch per iteration (all neighbour reservoirs
+    gathered at once, all target pdfs in one broadcast evaluation).
+    cfg.biased=False re-evaluates the winner at every contributing
+    neighbour's surface (≙ CombineUnbiased, `ReSTIRKernels.cu:1123-1199`)."""
     n = res.m.shape[0]
+    s = cfg.spatial_samples
     px = (jnp.arange(n) % width).astype(jnp.int32)
     py = (jnp.arange(n) // width).astype(jnp.int32)
     depth_here = sd_depth(sd)
+    alb_lum = vm.luminance(sd.base_color)
 
     for it in range(cfg.spatial_iterations):
         kit = jax.random.fold_in(key, it)
         src = res  # snapshot: neighbours come from the previous iteration's
         # buffer, matching the reference's ping-pong pair (ReSTIR.cpp:264-274)
-        w_tot = src.p_hat * src.w_out * src.m
-        m_tot = src.m
-        best_w = w_tot
-        best = src
-        best_phat = src.p_hat
-        # categorical pick across self + neighbours via streaming update
-        pick_u = jax.random.uniform(jax.random.fold_in(kit, 999), (n,))
-        cum = w_tot
-        for s in range(cfg.spatial_samples):
-            ks = jax.random.fold_in(kit, s)
-            k1, k2, k3 = jax.random.split(ks, 3)
-            ang = jax.random.uniform(k1, (n,)) * 2 * jnp.pi
-            rad = jnp.sqrt(jax.random.uniform(k2, (n,))) * cfg.spatial_radius
-            nx = jnp.clip(px + (jnp.cos(ang) * rad).astype(jnp.int32), 0, width - 1)
-            ny = jnp.clip(py + (jnp.sin(ang) * rad).astype(jnp.int32), 0, height - 1)
-            ni = ny * width + nx
-            nb = jax.tree_util.tree_map(lambda a: a[ni], src)
-            d_ok = jnp.abs(depth_here[ni] - depth_here) <= (
-                cfg.depth_gate * jnp.maximum(depth_here, 1e-3)
+        k1, k2, k3 = jax.random.split(kit, 3)
+        ang = jax.random.uniform(k1, (n, s)) * 2 * jnp.pi
+        rad = jnp.sqrt(jax.random.uniform(k2, (n, s))) * cfg.spatial_radius
+        nx = jnp.clip(px[:, None] + (jnp.cos(ang) * rad).astype(jnp.int32),
+                      0, width - 1)
+        ny = jnp.clip(py[:, None] + (jnp.sin(ang) * rad).astype(jnp.int32),
+                      0, height - 1)
+        ni = ny * width + nx                                   # (N,S)
+        nb = jax.tree_util.tree_map(lambda a: a[ni], src)      # (N,S,...)
+        d_ok = jnp.abs(depth_here[ni] - depth_here[:, None]) <= (
+            cfg.depth_gate * jnp.maximum(depth_here[:, None], 1e-3)
+        )
+        n_ok = vm.dot(sd.normal[ni], sd.normal[:, None, :]) >= cfg.normal_gate
+        ok = d_ok & n_ok & hit_mask[:, None] & hit_mask[ni]    # (N,S)
+        phat_nb, _, _ = _target_phat(scene, sd, nb.light_idx, nb.bary,
+                                     rad_all=rad_all)
+        phat_nb = jnp.where(ok, phat_nb, 0.0)
+        w_nb = jnp.where(ok, phat_nb * nb.w_out * nb.m, 0.0)   # (N,S)
+        m_nb = jnp.where(ok, nb.m, 0.0)
+
+        # categorical pick over {self} + S neighbours in one pass
+        w_self = src.p_hat * src.w_out * src.m                 # (N,)
+        w_all = jnp.concatenate([w_self[:, None], w_nb], axis=1)  # (N,S+1)
+        cum = jnp.cumsum(w_all, axis=1)
+        w_sum = cum[:, -1]
+        u = jax.random.uniform(k3, (n, 1))
+        pick = jnp.sum((cum < u * w_sum[:, None]).astype(jnp.int32), axis=1)
+        pick = jnp.clip(pick, 0, s)
+        lights_all = jnp.concatenate(
+            [src.light_idx[:, None], nb.light_idx], axis=1
+        )
+        bary_all = jnp.concatenate([src.bary[:, None], nb.bary], axis=1)
+        phat_all = jnp.concatenate([src.p_hat[:, None], phat_nb], axis=1)
+        take = lambda a: jnp.take_along_axis(a, pick[:, None], axis=1)[:, 0]
+        best_light = take(lights_all)
+        best_bary = jnp.take_along_axis(
+            bary_all, pick[:, None, None].repeat(2, -1), axis=1
+        )[:, 0]
+        best_phat = take(phat_all)
+
+        m_tot = src.m + jnp.sum(m_nb, axis=1)
+        if cfg.biased:
+            denom_m = m_tot
+        else:
+            # CombineUnbiased: Z = sum of stream Ms at whose own surface the
+            # winner's target pdf is nonzero — one more broadcast evaluation
+            # of the winner at the S neighbour surfaces
+            phat_win_at_nb, _, _ = _target_phat(
+                scene, sd,
+                jnp.broadcast_to(best_light[:, None], (n, s)),
+                jnp.broadcast_to(best_bary[:, None, :], (n, s, 2)),
+                rad_all=rad_all,
+                at_position=sd.position[ni],
+                at_normal=sd.normal[ni],
+                at_albedo_lum=alb_lum[ni],
             )
-            n_ok = vm.dot(sd.normal[ni], sd.normal) >= cfg.normal_gate
-            ok = d_ok & n_ok & hit_mask & hit_mask[ni]
-            phat_here, _, _ = _target_phat(scene, sd, nb.light_idx, nb.bary)
-            phat_here = jnp.where(ok, phat_here, 0.0)
-            w_nb = jnp.where(ok, phat_here * nb.w_out * nb.m, 0.0)
-            m_nb = jnp.where(ok, nb.m, 0.0)
-            # streaming reservoir over neighbours
-            cum_new = cum + w_nb
-            u = jax.random.uniform(k3, (n,))
-            take_nb = (u * jnp.maximum(cum_new, 1e-20)) < w_nb
-            best = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(
-                    take_nb.reshape(take_nb.shape + (1,) * (a.ndim - 1)), b, a
-                ),
-                best,
-                nb,
+            denom_m = src.m * (best_phat > 0) + jnp.sum(
+                m_nb * (jnp.where(ok, phat_win_at_nb, 0.0) > 0), axis=1
             )
-            best_phat = jnp.where(take_nb, phat_here, best_phat)
-            cum = cum_new
-            m_tot = m_tot + m_nb
         w_out = jnp.where(
             best_phat > 0,
-            cum / (jnp.maximum(m_tot, 1e-6) * jnp.maximum(best_phat, 1e-20)),
+            w_sum / (jnp.maximum(denom_m, 1e-6) * jnp.maximum(best_phat, 1e-20)),
             0.0,
         )
         res = Reservoir(
-            light_idx=best.light_idx,
-            bary=best.bary,
-            w_sum=cum,
+            light_idx=best_light,
+            bary=best_bary,
+            w_sum=w_sum,
             m=m_tot,
             w_out=w_out,
             p_hat=best_phat,
@@ -395,7 +456,7 @@ def spatial_pass(scene, sd, res, hit_mask, cfg, width, height, key):
     return res
 
 
-def shade(scene, sd, wo, res: Reservoir, eval_f, hit_mask):
+def shade(scene, sd, wo, res: Reservoir, eval_f, hit_mask, rad_all=None):
     """Final reservoir shading into the DIRECT channel.
     ≙ Shade (`ReSTIRKernels.cu:584-665`): contribution = f * L * G * W.
     Radiance stays differentiable; W is sampling machinery (detached)."""
@@ -409,7 +470,7 @@ def shade(scene, sd, wo, res: Reservoir, eval_f, hit_mask):
     cos_s = jnp.maximum(vm.dot(sd.normal, wi), 0.0)
     cos_l = jnp.maximum(vm.dot(prow[:, 9:12], -wi), 0.0)
     g = cos_s * cos_l / (dist * dist)
-    rad = scene.light_radiance(li)
+    rad = rad_all[li] if rad_all is not None else scene.light_radiance(li)
     f_val, _ = eval_f(sd, wo, wi)
     w = jax.lax.stop_gradient(res.w_out)
     scale = jnp.where(hit_mask & (w > 0), jax.lax.stop_gradient(g) * w, 0.0)
@@ -438,27 +499,45 @@ class RestirDI:
 
     def __call__(self, scene, sd, wo, hit_mask, motion, state: RestirState, key):
         cfg = self.cfg
-        k_bag, k_ris, k_t, k_s = jax.random.split(key, 4)
-        cdf, pdf = build_light_cdf(scene)
+        k_bag, k_ris, k_t, k_s, k_v1, k_v2 = jax.random.split(key, 6)
+        # dense differentiable radiance once per frame: every pass below
+        # gathers from it instead of re-deriving per-sample (round-2's
+        # dangling rad_all plumbing, now actually wired)
+        from ..integrator import nee as nee_mod
+
+        rad_all = nee_mod.all_light_radiance(scene)
+        cdf, pdf = build_light_cdf(scene, rad_all)
         bags = fill_light_bags(cdf, cfg, k_bag)
-        res = ris_primary(scene, sd, bags, pdf, cfg, self.width, k_ris)
-        res = visibility_pass(scene, sd, res, self.occlude_fn, hit_mask)
+        res = ris_primary(scene, sd, bags, pdf, cfg, self.width, k_ris,
+                          rad_all=rad_all)
+        res = visibility_pass(scene, sd, res, self.occlude_fn, hit_mask,
+                              rad_all=rad_all, volumes=scene.volumes,
+                              vol_key=k_v1)
         if state is not None:
             res = temporal_pass(
-                scene, sd, res, state, motion, cfg, self.width, self.height, k_t
+                scene, sd, res, state, motion, cfg, self.width, self.height,
+                k_t, rad_all=rad_all,
             )
         res = spatial_pass(
-            scene, sd, res, hit_mask, cfg, self.width, self.height, k_s
+            scene, sd, res, hit_mask, cfg, self.width, self.height, k_s,
+            rad_all=rad_all,
         )
         # final visibility on the post-reuse winner (biased mode shades
         # without it in the reference; we match the reference default but
-        # keep it correct for newly-imported samples via one check)
-        res_final = visibility_pass(scene, sd, res, self.occlude_fn, hit_mask)
-        color = shade(scene, sd, wo, res_final, self.eval_f, hit_mask)
+        # keep it correct for newly-imported samples via one check). The
+        # participating-media transmittance rides the same pass
+        # (≙ volumetric shadow rays, WaveFrontRenderer.cpp:858-871).
+        res_final = visibility_pass(scene, sd, res, self.occlude_fn, hit_mask,
+                                    rad_all=rad_all, volumes=scene.volumes,
+                                    vol_key=k_v2)
+        color = shade(scene, sd, wo, res_final, self.eval_f, hit_mask,
+                      rad_all=rad_all)
         new_state = RestirState(
             reservoir=res_final,
             prev_depth=sd_depth(sd),
             prev_normal=sd.normal,
+            prev_position=sd.position,
+            prev_albedo=vm.luminance(sd.base_color),
             valid=jnp.asarray(True),
         )
         return color, new_state

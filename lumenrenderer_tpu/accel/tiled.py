@@ -359,10 +359,13 @@ def _query(cs: ClusterSet, origins, dirs, t_min, t_max,
         tnb = jnp.where(
             valid_k, jnp.minimum(tn_bits, KEY_MISS - 1), jnp.int32(KEY_MISS)
         )
+        # Mosaic supports only DEFAULT/HIGHEST dot precisions
+        prec = {"float32": "highest", "high": "highest",
+                "bfloat16": "default"}[candidate_dtype]
         out = pk.visit_scan(
             rf_t, cs.tri_feat, cs.tri_id, sel, nv, tnb,
             k=k, mv=mv, k_bits=k_bits, low_bits=low_bits, closest=closest,
-            interpret=_jax.default_backend() != "tpu",
+            interpret=_jax.default_backend() != "tpu", precision=prec,
         )
         if not closest:
             occ_f = (out.reshape(rp)[:r] > 0) & ~(t_max_b < t_min_b)

@@ -57,8 +57,14 @@ NBUF = 6               # feature DMA slot count (pipeline depth NBUF-1)
 EVERY_N = 4            # early-out check cadence (vector->scalar sync cost)
 
 
-def _make_kernel(k: int, mv: int, k_bits: int, low_bits: int, closest: bool):
+def _make_kernel(k: int, mv: int, k_bits: int, low_bits: int, closest: bool,
+                 precision: str = "highest"):
     low_mask = ~((1 << low_bits) - 1)
+    prec = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[precision]
 
     def kernel(sel0_ref, nv_ref, rf_ref, selv_ref, tnbv_ref, first_ref,
                feats_ref, out_ref, fbuf, sems, srow, trow, rsem):
@@ -130,7 +136,7 @@ def _make_kernel(k: int, mv: int, k_bits: int, low_bits: int, closest: bool):
                     rfm, feats[:10],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=prec,
                 )                               # (128, 4K)
                 det = res[:, 0 * k:1 * k]
                 un = res[:, 1 * k:2 * k]
@@ -198,10 +204,10 @@ def _make_kernel(k: int, mv: int, k_bits: int, low_bits: int, closest: bool):
 
 
 @partial(jax.jit, static_argnames=("k", "mv", "k_bits", "low_bits", "closest",
-                                   "interpret"))
+                                   "interpret", "precision"))
 def visit_scan(rf_t, feats, tri_id, sel, nv, tnb, *, k: int, mv: int,
                k_bits: int, low_bits: int, closest: bool,
-               interpret: bool = False):
+               interpret: bool = False, precision: str = "highest"):
     """Run the fused visit loop.
 
     rf_t:  (T, 128, 12) f32 — cols 0-9 MT ray features, col 10 per-ray t_min,
@@ -223,7 +229,7 @@ def visit_scan(rf_t, feats, tri_id, sel, nv, tnb, *, k: int, mv: int,
     fk = feats.shape[-1]
     # pad feature rows 10 -> 16 (HBM DMA slices need 8-aligned sublanes)
     feats16 = jnp.pad(feats, ((0, 0), (0, FR - feats.shape[1]), (0, 0)))
-    kernel = _make_kernel(k, mv, k_bits, low_bits, closest)
+    kernel = _make_kernel(k, mv, k_bits, low_bits, closest, precision)
     # SMEM is ~1 MB: only the per-TILE scalars (first cluster id + visit
     # count) are scalar-prefetched; the (T, mv) visit lists are padded to
     # full 128-lane rows and group-DMA'd to SMEM inside the kernel.

@@ -244,11 +244,13 @@ def ris_primary(scene, sd, bags, bag_pdf, cfg: RestirConfig, width, key,
 
 
 def visibility_pass(scene, sd, res: Reservoir, occlude_fn, hit_mask,
-                    rad_all=None, volumes=None, vol_key=None):
-    """Zero reservoirs whose chosen sample is occluded; participating media
-    attenuate the reservoir weight by their transmittance (≙ VisibilityCheck
-    + RESTIR_RAY raygen, `ReSTIR.cpp:291-317`, `WaveFrontShaders.cu:181-216`,
-    plus the volumetric shadow rays of `WaveFrontRenderer.cpp:858-871`)."""
+                    rad_all=None):
+    """Zero reservoirs whose chosen sample is occluded (binary visibility
+    only — ≙ VisibilityCheck + RESTIR_RAY raygen, `ReSTIR.cpp:291-317`,
+    `WaveFrontShaders.cu:181-216`). Participating-media transmittance is NOT
+    folded into the stored weight: reservoirs persist through reuse and
+    frames, so a multiplicative transmittance would compound each pass —
+    it is applied once at shading instead (see `volumetric_transmittance`)."""
     phat, wi, dist = _target_phat(scene, sd, res.light_idx, res.bary,
                                   rad_all=rad_all)
     o = sd.position + sd.geo_normal * SHADOW_EPS
@@ -256,19 +258,26 @@ def visibility_pass(scene, sd, res: Reservoir, occlude_fn, hit_mask,
         o, wi, jnp.asarray(SHADOW_EPS, jnp.float32), dist - 2 * SHADOW_EPS
     )
     kill = occluded | ~hit_mask
-    v_tr = 1.0
-    if volumes is not None:
-        from ..volume import march as vmarch
-
-        v_tr = jax.lax.stop_gradient(
-            vmarch.transmittance_only(
-                volumes, o, wi, jnp.asarray(SHADOW_EPS, jnp.float32),
-                jnp.where(kill, 0.0, dist - 2 * SHADOW_EPS), key=vol_key,
-            )
-        )
     return res.replace(
-        w_out=jnp.where(kill, 0.0, res.w_out * v_tr),
-        w_sum=jnp.where(kill, 0.0, res.w_sum * v_tr),
+        w_out=jnp.where(kill, 0.0, res.w_out),
+        w_sum=jnp.where(kill, 0.0, res.w_sum),
+    )
+
+
+def volumetric_transmittance(scene, sd, res: Reservoir, volumes, key,
+                             hit_mask):
+    """Beer-Lambert transmittance along the winner's shadow segment
+    (≙ the volumetric shadow rays of `WaveFrontRenderer.cpp:858-871`),
+    applied once at shading time."""
+    from ..volume import march as vmarch
+
+    _, wi, dist = _target_phat(scene, sd, res.light_idx, res.bary)
+    o = sd.position + sd.geo_normal * SHADOW_EPS
+    return jax.lax.stop_gradient(
+        vmarch.transmittance_only(
+            volumes, o, wi, jnp.asarray(SHADOW_EPS, jnp.float32),
+            jnp.where(hit_mask, dist - 2 * SHADOW_EPS, 0.0), key=key,
+        )
     )
 
 
@@ -510,9 +519,15 @@ class RestirDI:
         bags = fill_light_bags(cdf, cfg, k_bag)
         res = ris_primary(scene, sd, bags, pdf, cfg, self.width, k_ris,
                           rad_all=rad_all)
-        res = visibility_pass(scene, sd, res, self.occlude_fn, hit_mask,
-                              rad_all=rad_all, volumes=scene.volumes,
-                              vol_key=k_v1)
+        if cfg.biased:
+            # visibility REUSE (≙ the reference's biased default,
+            # ReSTIR.cpp:291-317): occluded reservoirs are zeroed before
+            # reuse — their dead M still counts in neighbours' denominators,
+            # which is exactly the accepted bias of this mode. Unbiased mode
+            # skips it (visibility is applied only at final shading, and the
+            # combine's Z-denominator handles stream mismatch).
+            res = visibility_pass(scene, sd, res, self.occlude_fn, hit_mask,
+                                  rad_all=rad_all)
         if state is not None:
             res = temporal_pass(
                 scene, sd, res, state, motion, cfg, self.width, self.height,
@@ -528,12 +543,20 @@ class RestirDI:
         # participating-media transmittance rides the same pass
         # (≙ volumetric shadow rays, WaveFrontRenderer.cpp:858-871).
         res_final = visibility_pass(scene, sd, res, self.occlude_fn, hit_mask,
-                                    rad_all=rad_all, volumes=scene.volumes,
-                                    vol_key=k_v2)
+                                    rad_all=rad_all)
         color = shade(scene, sd, wo, res_final, self.eval_f, hit_mask,
                       rad_all=rad_all)
+        if scene.volumes is not None:
+            # volumetric shadow attenuation at shading time only (never
+            # persisted into reservoir weights — it would compound)
+            v_tr = volumetric_transmittance(scene, sd, res_final,
+                                            scene.volumes, k_v2, hit_mask)
+            color = color * v_tr[:, None]
         new_state = RestirState(
-            reservoir=res_final,
+            # biased mode feeds the visibility-zeroed reservoirs forward
+            # (visibility reuse); unbiased keeps the pre-shading reservoirs —
+            # a zeroed winner's M would silently darken the temporal combine
+            reservoir=res_final if cfg.biased else res,
             prev_depth=sd_depth(sd),
             prev_normal=sd.normal,
             prev_position=sd.position,

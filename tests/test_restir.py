@@ -170,3 +170,66 @@ def test_reservoir_invariants():
         a = np.asarray(f)
         assert np.isfinite(a).all()
         assert (a >= 0).all()
+
+
+def test_restir_unbiased_combine_cluttered():
+    """cfg.biased=False (≙ CombineUnbiased, ReSTIRKernels.cu:1123-1199):
+    re-evaluating the winner at each contributing neighbour's surface must
+    remove the cluttered-scene darkening the biased default shows."""
+    base = dict(candidates=8, num_bags=8, bag_size=128,
+                spatial_iterations=2, spatial_samples=3, spatial_radius=8)
+    img_nee = _render(False, 50)
+    img_b = _render(True, 50, di.RestirConfig(**base, biased=True))
+    img_u = _render(True, 50, di.RestirConfig(**base, biased=False))
+    r_b = img_b.mean() / img_nee.mean()
+    r_u = img_u.mean() / img_nee.mean()
+    # unbiased must sit closer to NEE than biased, and within 8%
+    assert abs(r_u - 1.0) < 0.08, (r_u, r_b)
+    assert abs(r_u - 1.0) <= abs(r_b - 1.0) + 0.02, (r_u, r_b)
+
+
+def test_restir_volumetric_shadow_attenuation():
+    """A fog slab between the lights and the floor must darken the ReSTIR
+    DIRECT channel (volumes wired through visibility_pass — VERDICT r2 #2)."""
+    import numpy as np
+    from lumenrenderer_tpu.scene.materials import MaterialSpec
+    from lumenrenderer_tpu.scene.scene import SceneBuilder
+    from lumenrenderer_tpu.core.camera import Camera
+
+    def build(with_fog):
+        b = SceneBuilder()
+        floor = b.add_material(MaterialSpec(base_color=(0.8, 0.8, 0.8),
+                                            roughness=1.0))
+        b.add_instance(presets.InstanceHost(mesh=presets.make_quad_mesh(
+            [(-4, 0, 4), (4, 0, 4), (4, 0, -4), (-4, 0, -4)], floor)))
+        lm = b.add_material(MaterialSpec(base_color=(0, 0, 0),
+                                         emissive=(40.0,) * 3))
+        b.add_instance(presets.InstanceHost(mesh=presets.make_quad_mesh(
+            [(-1, 4.0, -1), (1, 4.0, -1), (1, 4.0, 1), (-1, 4.0, 1)], lm)))
+        if with_fog:
+            b.add_volume(np.ones((4, 4, 4), np.float32),
+                         (-3, 1.8, -3), (3, 2.2, 3), sigma_t=2.0, albedo=0.0)
+        return b.build()
+
+    cam = Camera.look_at(eye=(0, 2.5, 5.0), target=(0, 0, 0), fov_y_deg=35.0)
+    rcfg = di.RestirConfig(candidates=8, num_bags=4, bag_size=32,
+                           spatial_iterations=0)
+
+    def render(sc):
+        cfg = RenderConfig(width=16, height=16, max_depth=1, bsdf="lambert",
+                           light_strategy="nee", use_restir=True,
+                           rr_start_depth=99, volume_depths=0)
+        r = Renderer(sc, cfg, accel="stream", cluster_size=32,
+                     restir_config=rcfg, donate=False)
+        st = r.init_state(0)
+        for _ in range(10):
+            st, _ = r.render_frame(st, cam)
+        return np.asarray(st.accum)
+
+    img_fog = render(build(True))
+    img_clear = render(build(False))
+    lit = img_clear.mean(axis=1) > 0.05
+    ratio = img_fog[lit].mean() / img_clear[lit].mean()
+    expect = float(np.exp(-2.0 * 0.4))
+    assert ratio < 0.8, ratio
+    assert abs(ratio - expect) < 0.2, (ratio, expect)

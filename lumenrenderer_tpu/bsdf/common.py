@@ -67,6 +67,51 @@ def gtr1_d(nh: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def ggx_d_aniso(h: jnp.ndarray, ax: jnp.ndarray, ay: jnp.ndarray) -> jnp.ndarray:
+    """Anisotropic GGX D(h), h in the (tangent, bitangent, normal) frame.
+
+    ≙ `CUDAKernels/ggxmdf.cuh` GGXMDF::D(alpha_x, alpha_y). Reduces exactly
+    to `ggx_d` when ax == ay, so the isotropic path shares this code.
+    """
+    hx, hy, hz = h[..., 0], h[..., 1], h[..., 2]
+    e = (hx / ax) ** 2 + (hy / ay) ** 2 + hz * hz
+    return jnp.where(
+        hz > 0.0, 1.0 / jnp.maximum(jnp.pi * ax * ay * e * e, 1e-12), 0.0
+    )
+
+
+def ggx_lambda_aniso(w: jnp.ndarray, ax: jnp.ndarray, ay: jnp.ndarray) -> jnp.ndarray:
+    """Smith Lambda for anisotropic GGX, w in the tangent frame."""
+    wx, wy = w[..., 0], w[..., 1]
+    wz = jnp.clip(jnp.abs(w[..., 2]), 1e-6, 1.0)
+    a2t2 = ((ax * wx) ** 2 + (ay * wy) ** 2) / (wz * wz)
+    return 0.5 * (-1.0 + jnp.sqrt(1.0 + a2t2))
+
+
+def smith_g1_aniso(w, ax, ay):
+    return 1.0 / (1.0 + ggx_lambda_aniso(w, ax, ay))
+
+
+def smith_g2_aniso(wo, wi, ax, ay):
+    """Height-correlated Smith G2, anisotropic. ≙ GGXMDF::G."""
+    return 1.0 / (
+        1.0 + ggx_lambda_aniso(wo, ax, ay) + ggx_lambda_aniso(wi, ax, ay)
+    )
+
+
+def ggx_vndf_pdf_aniso(wo, h, ax, ay):
+    """PDF of anisotropic GGX VNDF sampling (half-vector measure)."""
+    wo_z = wo[..., 2]
+    oh = jnp.sum(wo * h, axis=-1)
+    g1 = smith_g1_aniso(wo, ax, ay)
+    d = ggx_d_aniso(h, ax, ay)
+    return jnp.where(
+        wo_z > 0.0,
+        g1 * d * jnp.maximum(oh, 0.0) / jnp.maximum(wo_z, 1e-6),
+        0.0,
+    )
+
+
 def ggx_vndf_pdf(wo_z, nh, oh, alpha):
     """PDF of GGX VNDF sampling (half-vector measure → solid-angle measure)."""
     g1 = smith_g1(wo_z, alpha)

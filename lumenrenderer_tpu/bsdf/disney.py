@@ -62,6 +62,36 @@ def _alpha(roughness):
     return jnp.maximum(roughness * roughness, 1e-4)
 
 
+def _alpha_aniso(g, sd):
+    """Anisotropic GGX slopes (ax, ay) from roughness + `anisotropic`.
+
+    Disney aspect-ratio convention (≙ `ggxmdf.cuh` alpha_x/alpha_y plumbed
+    through GGXMDF::D/G). anisotropic == 0 gives ax == ay == alpha, so the
+    isotropic case is the same code path at the same cost.
+    """
+    alpha = _alpha(sd.roughness)
+    aspect = jnp.sqrt(1.0 - 0.9 * jnp.clip(g.anisotropic, 0.0, 1.0))
+    ax = jnp.maximum(alpha / aspect, 1e-4)
+    ay = jnp.maximum(alpha * aspect, 1e-4)
+    return ax, ay
+
+
+def _frame(sd):
+    """Shading frame (t, b, n): UV tangent orthogonalized against the
+    (possibly normal-mapped) shading normal, so `anisotropic` stretches
+    highlights along the surface's U direction; canonical ONB fallback for
+    degenerate tangents."""
+    n = sd.normal
+    t_raw = sd.tangent - n * vm.dot(sd.tangent, n)[..., None]
+    len2 = vm.dot(t_raw, t_raw)
+    t_onb, _ = vm.build_onb(n)
+    t = jnp.where((len2 > 1e-8)[..., None],
+                  t_raw * jax.lax.rsqrt(jnp.maximum(len2, 1e-12))[..., None],
+                  t_onb)
+    b = jnp.cross(n, t)
+    return t, b, n
+
+
 def _eta(g, sd):
     """Relative IOR eta_i/eta_t for refraction direction computation."""
     ior = g.ior
@@ -85,6 +115,7 @@ def _eval_lobes(g, sd, wo_l, wi_l):
 
     rough = sd.roughness
     alpha = _alpha(rough)
+    ax, ay = _alpha_aniso(g, sd)
 
     # -- Disney diffuse + retro + sheen --
     fl = common.schlick_fresnel(cos_i_c)
@@ -115,11 +146,11 @@ def _eval_lobes(g, sd, wo_l, wi_l):
         g.sheen * diffuse_weight
     )[..., None] * sheen_color * fh[..., None]
 
-    # -- GGX specular --
+    # -- GGX specular (anisotropic; wo_l/wi_l live in the UV tangent frame) --
     f0 = _f0_color(g, sd)
     fres = common.fresnel_schlick(f0, oh)
-    d = common.ggx_d(nh, alpha)
-    g2 = common.smith_g2(cos_o, cos_i_c, alpha)
+    d = common.ggx_d_aniso(h, ax, ay)
+    g2 = common.smith_g2_aniso(wo_l, wi_l, ax, ay)
     f_spec = fres * (d * g2 / jnp.maximum(4.0 * cos_o * cos_i_c, 1e-8))[..., None]
 
     # -- clearcoat (GTR1, fixed 0.25 weight, F0=0.04) --
@@ -140,7 +171,7 @@ def _eval_lobes(g, sd, wo_l, wi_l):
 
     # pdfs (solid angle) of each reflection sampling strategy
     pdf_diffuse = jnp.where(reflect_side, cos_i_c / jnp.pi, 0.0)
-    pdf_spec_h = common.ggx_vndf_pdf(cos_o, nh, oh, alpha)
+    pdf_spec_h = common.ggx_vndf_pdf_aniso(wo_l, h, ax, ay)
     pdf_spec = jnp.where(reflect_side, pdf_spec_h / jnp.maximum(4.0 * oh, 1e-8), 0.0)
     pdf_cc_h = d_cc * nh  # GTR1 sampled proportional to D * cos
     pdf_cc = jnp.where(reflect_side, pdf_cc_h / jnp.maximum(4.0 * oh, 1e-8), 0.0)
@@ -171,8 +202,9 @@ def _eval_transmission(g, sd, wo_l, wi_l):
     ih = vm.dot(wi_l, h)
     nh = jnp.maximum(h[..., 2], 0.0)
     alpha = _alpha(sd.roughness)
-    d = common.ggx_d(nh, alpha)
-    g2 = common.smith_g2(cos_o, jnp.abs(cos_i), alpha)
+    ax, ay = _alpha_aniso(g, sd)
+    d = common.ggx_d_aniso(h, ax, ay)
+    g2 = common.smith_g2_aniso(wo_l, wi_l, ax, ay)
     f_r = common.fresnel_dielectric(jnp.abs(oh), 1.0 / eta)
     denom = jnp.maximum((oh + ih / eta) ** 2, 1e-8)
     jac = jnp.abs(ih) / denom * (1.0 / (eta * eta))
@@ -190,7 +222,7 @@ def _eval_transmission(g, sd, wo_l, wi_l):
     f_trans = jnp.where(
         trans_side[..., None], (f_t * w)[..., None] * color, 0.0
     )
-    pdf_h = common.ggx_vndf_pdf(cos_o, nh, jnp.maximum(oh, 0.0), alpha)
+    pdf_h = common.ggx_vndf_pdf_aniso(wo_l, h, ax, ay)
     pdf_trans = jnp.where(
         trans_side, pdf_h * jac * (1.0 - f_r), 0.0
     )
@@ -206,8 +238,9 @@ def evaluate(materials, sd, wo, wi):
     from ..scene.materials import GatheredMaterial
 
     g = GatheredMaterial(sd.mat_rows)
-    wo_l = vm.to_local(wo, sd.normal)
-    wi_l = vm.to_local(wi, sd.normal)
+    t, b, n = _frame(sd)
+    wo_l = vm.to_local_frame(wo, t, b, n)
+    wi_l = vm.to_local_frame(wi, t, b, n)
     # shading normal may disagree with geometric side; clamp wo to upper hemi
     valid_o = wo_l[..., 2] > 1e-6
     wo_l = wo_l.at[..., 2].set(jnp.maximum(wo_l[..., 2], 1e-6))
@@ -233,7 +266,8 @@ def sample(materials, sd, wo, u, key=None):
     from ..scene.materials import GatheredMaterial
 
     g = GatheredMaterial(sd.mat_rows)
-    wo_l = vm.to_local(wo, sd.normal)
+    t, b, n = _frame(sd)
+    wo_l = vm.to_local_frame(wo, t, b, n)
     wo_l = wo_l.at[..., 2].set(jnp.maximum(wo_l[..., 2], 1e-6))
     lobes = _lobe_probs(g, sd)
     sel = u[..., 2]
@@ -248,9 +282,10 @@ def sample(materials, sd, wo, u, key=None):
     u2 = u[..., :2]
     # diffuse: cosine hemisphere
     wi_diff = sampling.sample_cosine_hemisphere(u2)
-    # specular: GGX VNDF reflect
+    # specular: GGX VNDF reflect (anisotropic slopes)
     alpha = _alpha(sd.roughness)
-    m_spec = sampling.sample_ggx_vndf(wo_l, jnp.sqrt(alpha), u2)
+    ax, ay = _alpha_aniso(g, sd)
+    m_spec = sampling.sample_ggx_vndf(wo_l, ax, u2, roughness_y=ay)
     wi_spec = vm.reflect(-wo_l, m_spec)
     # clearcoat: GTR1 D-sampling
     cc_alpha = vm.lerp(0.1, 0.001, g.clearcoat_gloss)
@@ -265,7 +300,7 @@ def sample(materials, sd, wo, u, key=None):
     wi_cc = vm.reflect(-wo_l, m_cc)
     # transmission: VNDF half-vector, refract (or reflect on TIR/Fresnel)
     eta = _eta(g, sd)
-    m_t = sampling.sample_ggx_vndf(wo_l, jnp.sqrt(alpha), u2)
+    m_t = sampling.sample_ggx_vndf(wo_l, ax, u2, roughness_y=ay)
     cos_om = vm.dot(wo_l, m_t)
     f_r = common.fresnel_dielectric(jnp.abs(cos_om), 1.0 / eta)
     refr, tir = vm.refract(-wo_l, m_t, eta)
@@ -288,15 +323,16 @@ def sample(materials, sd, wo, u, key=None):
     # only carries shading gradients. Without this, sqrt(0) corners in the
     # VNDF warp produce NaN cotangents.
     wi_l = jax.lax.stop_gradient(wi_l)
-    wi = vm.to_world(wi_l, sd.normal)
+    wi = vm.to_world_frame(wi_l, t, b, n)
     f, pdf = evaluate(materials, sd, wo, wi)
     # transmission reflect-branch pdf correction: the Fresnel reflection off a
     # transmissive microfacet looks like the specular lobe; fold its
     # probability into the pdf to stay unbiased.
-    oh = jnp.maximum(vm.dot(wo_l, vm.normalize(wo_l + wi_l)), 0.0)
-    nh = jnp.maximum(vm.normalize(wo_l + wi_l)[..., 2], 0.0)
-    pdf_spec_extra = common.ggx_vndf_pdf(
-        wo_l[..., 2], nh, oh, alpha
+    h_rfl = vm.normalize(wo_l + wi_l)
+    h_rfl = jnp.where((h_rfl[..., 2:3] < 0.0), -h_rfl, h_rfl)
+    oh = jnp.maximum(vm.dot(wo_l, h_rfl), 0.0)
+    pdf_spec_extra = common.ggx_vndf_pdf_aniso(
+        wo_l, h_rfl, ax, ay
     ) / jnp.maximum(4.0 * oh, 1e-8)
     pdf = pdf + jnp.where(
         wi_l[..., 2] > 0.0, lobes.p_transmission * f_r * pdf_spec_extra, 0.0

@@ -78,15 +78,19 @@ def sample_triangle(u: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([b0, b1, 1.0 - b0 - b1], axis=-1)
 
 
-def sample_ggx_vndf(wo: jnp.ndarray, roughness: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+def sample_ggx_vndf(wo: jnp.ndarray, roughness: jnp.ndarray, u: jnp.ndarray,
+                    roughness_y: jnp.ndarray | None = None) -> jnp.ndarray:
     """Sample a GGX visible-normal (Heitz 2018) in tangent space.
 
-    wo: (...,3) outgoing dir in tangent space (z up), roughness: (...,),
+    wo: (...,3) outgoing dir in tangent space (z up), roughness: (...,) the
+    x slope (= alpha_x; pass alpha_y via roughness_y for anisotropy),
     u: (...,2). Returns the half-vector m. Same estimator the reference
-    uses (`RenderingUtility.h:260-338`), vectorized.
+    uses (`RenderingUtility.h:260-338`, anisotropic alphas ≙ `ggxmdf.cuh`),
+    vectorized.
     """
     ax = jnp.maximum(roughness, 1e-4)[..., None]
-    vh = vm.normalize(wo * jnp.concatenate([ax, ax, jnp.ones_like(ax)], axis=-1))
+    ay = ax if roughness_y is None else jnp.maximum(roughness_y, 1e-4)[..., None]
+    vh = vm.normalize(wo * jnp.concatenate([ax, ay, jnp.ones_like(ax)], axis=-1))
     # Orthonormal basis around vh
     lensq = vh[..., 0] ** 2 + vh[..., 1] ** 2
     t1 = jnp.where(
@@ -106,7 +110,7 @@ def sample_ggx_vndf(wo: jnp.ndarray, roughness: jnp.ndarray, u: jnp.ndarray) -> 
     nh = p1[..., None] * t1 + p2[..., None] * t2 + p3[..., None] * vh
     m = vm.normalize(
         jnp.stack(
-            [ax[..., 0] * nh[..., 0], ax[..., 0] * nh[..., 1], jnp.maximum(nh[..., 2], 0.0)],
+            [ax[..., 0] * nh[..., 0], ay[..., 0] * nh[..., 1], jnp.maximum(nh[..., 2], 0.0)],
             axis=-1,
         )
     )

@@ -98,6 +98,16 @@ def to_local(world: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([dot(world, t), dot(world, b), dot(world, n)], axis=-1)
 
 
+def to_local_frame(world, t, b, n) -> jnp.ndarray:
+    """Transform a world direction into an explicit (t, b, n) frame."""
+    return jnp.stack([dot(world, t), dot(world, b), dot(world, n)], axis=-1)
+
+
+def to_world_frame(local, t, b, n) -> jnp.ndarray:
+    """Transform a tangent-space direction out of an explicit (t, b, n) frame."""
+    return local[..., 0:1] * t + local[..., 1:2] * b + local[..., 2:3] * n
+
+
 def face_forward(n: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     """Flip n to lie in the hemisphere opposite direction d (d = incoming)."""
     return jnp.where(vdot(n, d) > 0.0, -n, n)

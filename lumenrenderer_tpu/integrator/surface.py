@@ -35,6 +35,7 @@ class SurfaceData:
     mat_rows: jnp.ndarray      # (R,22) packed material params (one gather)
     light_row: jnp.ndarray     # (R,) int32 tri->light row (-1 = not a light)
     tri_idx: jnp.ndarray       # (R,) int32 (-1 = miss)
+    tangent: jnp.ndarray       # (R,3) world UV-aligned tangent (anisotropy axis)
     valid: jnp.ndarray         # (R,) bool hit mask
     is_emissive: jnp.ndarray   # (R,) bool (≙ SurfaceFlags::EMISSIVE)
     front_face: jnp.ndarray    # (R,) bool — ray hit the front side (for IOR)
@@ -182,6 +183,7 @@ def extract_surface_data(
         mat_rows=rows,
         light_row=light_row,
         tri_idx=hit_tri,
+        tangent=tangent,
         valid=valid,
         is_emissive=vm.luminance(emissive) > 0.0,
         front_face=front_face,

@@ -212,6 +212,7 @@ def render_wavefront(
                 position=sg(sd.position),
                 normal=sg(sd.normal),
                 geo_normal=sg(sd.geo_normal),
+                tangent=sg(sd.tangent),
             )
         hit_mask = sd.valid & alive
         wo = -ray_d

@@ -176,6 +176,38 @@ class Renderer:
         )
         return img
 
+    def render_sequence(self, cameras, spp: int = 1, denoise: str = "temporal",
+                        seed: int = 0):
+        """Render an animated camera path, one image per camera.
+
+        denoise: "temporal" (motion-reprojected history + variance clamp in
+        front of À-Trous, ≙ the reference's temporal denoiser mode,
+        `OptixDenoiserWrapper.h:66-105`) | "spatial" | "off".
+        Cameras should carry `prev_view_proj` (see `Camera.with_previous`)
+        so motion vectors reproject; frame f's noise is decorrelated via
+        seed+f. Returns a list of (H,W,3) float arrays.
+        """
+        from . import denoise as dn
+
+        h, w = self.config.height, self.config.width
+        tstate = dn.init_temporal_state(h, w)
+        imgs = []
+        for f, cam in enumerate(cameras):
+            st = self.init_state(seed + f)
+            aux = None
+            for _ in range(spp):
+                st, aux = self.render_frame(st, cam)
+            if denoise == "temporal":
+                tstate, img = dn.temporal_denoise_frame(
+                    tstate, st.accum, aux, w, h
+                )
+            elif denoise == "spatial":
+                img = dn.denoise_frame(st.accum, aux, w, h)
+            else:
+                img = st.accum
+            imgs.append(np.asarray(img).reshape(h, w, 3))
+        return imgs
+
     def render_png(self, camera: Camera, path: str, spp: int = 16, exposure=1.0):
         img = self.render(camera, spp)
         u8 = tonemap.to_uint8(tonemap.tonemap_gamma(jnp.asarray(img), exposure=exposure))

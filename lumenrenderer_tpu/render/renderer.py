@@ -217,3 +217,77 @@ class Renderer:
     def get_last_frame_stats(self) -> Dict[str, float]:
         """≙ `LumenRenderer::GetLastFrameStats` (`LumenRenderer.h:29-34`)."""
         return dict(self.frame_stats)
+
+    def profile_stages(self, camera: Camera, reps: int = 3,
+                       seed: int = 0) -> Dict[str, float]:
+        """Per-stage frame-time breakdown, merged into `frame_stats`.
+
+        ≙ the reference's per-stage FrameStats map filled across TraceFrame
+        (`WaveFrontRenderer.cpp:453,610,833,854,1012,1078`). The production
+        frame is ONE fused XLA program (per-stage timers can't exist inside
+        it), so profiling mode times each stage as its own jitted program at
+        frame shapes — the fusion the full frame enjoys is lost, so the sum
+        of stages is an upper bound on the fused frame.
+        """
+        import time as _time
+
+        from ..core import camera as camera_mod
+        from ..integrator import nee as nee_mod
+        from ..integrator.surface import extract_surface_data
+        from ..integrator import wavefront as wf
+
+        cfg = self.config
+        w, h, n = cfg.width, cfg.height, cfg.num_pixels
+        sc = self.scene
+        key = jax.random.PRNGKey(seed)
+        stats: Dict[str, float] = {}
+
+        def timeit(name, fn, *args):
+            out = jax.block_until_ready(fn(*args))
+            t0 = _time.perf_counter()
+            for _ in range(reps):
+                out = fn(*args)
+            jax.block_until_ready(out)
+            stats[name] = (_time.perf_counter() - t0) / reps * 1e3
+            return out
+
+        j_prim = jax.jit(lambda fi, k: camera_mod.generate_primary_rays(
+            camera, w, h, fi, key=k, jitter=cfg.jitter))
+        ray_o, ray_d = timeit("GeneratePrimaryRays", j_prim, jnp.int32(0), key)
+        tmin = jnp.float32(1e-3)
+        tmax = jnp.full((n,), 1e8, jnp.float32)
+        j_isect = jax.jit(lambda o, d, tx: self._isect(o, d, tmin, tx))
+        j_occl = jax.jit(lambda o, d, tx: self._occl(o, d, tmin, tx))
+        hits = timeit("Intersect (primary, coherent)", j_isect,
+                      ray_o, ray_d, tmax)
+        ku = jax.random.uniform(jax.random.fold_in(key, 1), (n, 3)) * 2 - 1
+        bd = ku / jnp.linalg.norm(ku, axis=-1, keepdims=True)
+        bo = ray_o + jnp.where(
+            jnp.isfinite(hits["t"]), hits["t"], 1.0)[:, None] * ray_d
+        timeit("Intersect (bounce, incoherent)", j_isect, bo, bd, tmax)
+        timeit("Occlusion (shadow)", j_occl, bo, bd, tmax)
+        j_ext = jax.jit(lambda o, d, hh: extract_surface_data(
+            sc, o, d, hh["t"], hh["tri"], hh["u"], hh["v"]))
+        sd = timeit("ExtractSurfaceData", j_ext, ray_o, ray_d, hits)
+        wo = -ray_d
+        u4 = jax.random.uniform(jax.random.fold_in(key, 2), (n, 4))
+        j_eval = jax.jit(lambda s, a, b: wf._bsdf_eval(
+            cfg, s, sc.materials, a, b))
+        timeit("BSDF evaluate", j_eval, sd, wo, bd)
+        ltab = jax.jit(nee_mod.build_light_table,
+                       static_argnames=("selection",))(
+            sc, selection=cfg.light_selection)
+        u3 = jax.random.uniform(jax.random.fold_in(key, 3), (n, 3))
+        j_nee = jax.jit(lambda u, p: nee_mod.sample_light(ltab, u, p))
+        timeit("ShadeDirect sample_light", j_nee, u3, sd.position)
+
+        st = self.init_state(seed)
+        st, _ = self._step(st, camera, sc)       # compile + warm
+        jax.block_until_ready(st.accum)
+        t0 = _time.perf_counter()
+        for _ in range(reps):
+            st, _ = self._step(st, camera, sc)
+        jax.block_until_ready(st.accum)
+        stats["Total Frame Time"] = (_time.perf_counter() - t0) / reps * 1e3
+        self.frame_stats.update(stats)
+        return stats

@@ -82,3 +82,23 @@ def test_frame_stats():
     r.render_frame(st, cam)
     stats = r.get_last_frame_stats()
     assert "Total Frame Time" in stats and stats["Total Frame Time"] > 0
+
+
+def test_profile_stages_fills_frame_stats():
+    """Renderer.profile_stages surfaces the per-stage FrameStats map
+    (≙ WaveFrontRenderer per-stage time map)."""
+    import numpy as np
+    from lumenrenderer_tpu.scene import presets
+    from lumenrenderer_tpu.integrator.wavefront import RenderConfig
+    from lumenrenderer_tpu.render.renderer import Renderer
+
+    builder, camf = presets.cornell_box()
+    sc, cam = builder.build(), camf(1.0)
+    cfg = RenderConfig(width=32, height=32, max_depth=2)
+    r = Renderer(sc, cfg, accel="sah")
+    stats = r.profile_stages(cam, reps=1)
+    for k in ("GeneratePrimaryRays", "Intersect (primary, coherent)",
+              "Occlusion (shadow)", "ExtractSurfaceData",
+              "ShadeDirect sample_light", "Total Frame Time"):
+        assert k in stats and np.isfinite(stats[k]) and stats[k] >= 0.0, k
+    assert r.get_last_frame_stats()["Total Frame Time"] == stats["Total Frame Time"]

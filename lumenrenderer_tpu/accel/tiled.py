@@ -219,10 +219,11 @@ def _tile_tree_visits(cs: ClusterSet, o, d, tn, tx, tiles: int, mv: int):
 
 
 @partial(jax.jit, static_argnames=("max_visits", "closest", "candidate_dtype",
-                                   "use_pallas", "culling"))
+                                   "use_pallas", "culling", "decode"))
 def _query(cs: ClusterSet, origins, dirs, t_min, t_max,
            max_visits: int, closest: bool, candidate_dtype: str = "float32",
-           use_pallas: bool = False, culling: str = "auto"):
+           use_pallas: bool = False, culling: str = "auto",
+           decode: bool = True):
     r = origins.shape[0]
     t_min_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
@@ -400,7 +401,8 @@ def _query(cs: ClusterSet, origins, dirs, t_min, t_max,
             }
 
     flat = lambda a: a.reshape(-1)[:r]
-    # decode winner + ONE coefficient gather for exact t,u,v
+    # decode the winner key: step/k bits -> global triangle id (ONE small
+    # (R,) gather from the (C,K) id table)
     bk = flat(best_key)
     found = bk < KEY_MISS
     k_win = bk & ((1 << k_bits) - 1)
@@ -408,6 +410,21 @@ def _query(cs: ClusterSet, origins, dirs, t_min, t_max,
     tile_idx = (jnp.arange(r, dtype=jnp.int32) // RAY_TILE)
     cluster = order[tile_idx, step_win]                     # (R,)
     tri_g = cs.tri_id[jnp.maximum(cluster, 0), k_win]
+    if not decode:
+        # fast path (the renderer): exact t/u/v are re-derived downstream by
+        # `extract_surface_data` via elementwise MT on its fused attr-table
+        # gather — the (R,10,4) coefficient gather + einsum here measured
+        # 59 ms/call and a ~590 MB HBM spike at 1440p. t is the key's
+        # quantized distance (masked low bits), good to ~2^-(23-low_bits).
+        t_key = jax.lax.bitcast_convert_type(bk & low_mask, jnp.float32)
+        return {
+            "t": jnp.where(found, t_key, jnp.inf),
+            "tri": jnp.where(found, tri_g, -1),
+            "u": jnp.zeros((r,)),
+            "v": jnp.zeros((r,)),
+            "occluded": found,
+            "overflow": overflow,
+        }
     # coefficient columns of the winning triangle — ONE (R,10,4) gather
     cols = cs.tri_feat.reshape(c, 10, 4, k)[jnp.maximum(cluster, 0), :, :, k_win]
     rf_r = ray_features(origins, dirs)
@@ -433,9 +450,10 @@ def _query(cs: ClusterSet, origins, dirs, t_min, t_max,
 
 def intersect_closest(cs: ClusterSet, origins, dirs, t_min, t_max,
                       max_visits: int = 12, candidate_dtype: str = "float32",
-                      use_pallas: bool = False, culling: str = "auto"):
+                      use_pallas: bool = False, culling: str = "auto",
+                      decode: bool = True):
     return _query(cs, origins, dirs, t_min, t_max, max_visits, True,
-                  candidate_dtype, use_pallas, culling)
+                  candidate_dtype, use_pallas, culling, decode)
 
 
 def intersect_any(cs: ClusterSet, origins, dirs, t_min, t_max,
@@ -447,11 +465,13 @@ def intersect_any(cs: ClusterSet, origins, dirs, t_min, t_max,
 
 def tiled_intersectors(cs: ClusterSet, max_visits: int = 12,
                        candidate_dtype: str = "float32",
-                       use_pallas: bool = False, culling: str = "auto") -> Tuple:
+                       use_pallas: bool = False, culling: str = "auto",
+                       decode: bool = True) -> Tuple:
     def isect(o, d, tn, tx):
         res = intersect_closest(cs, o, d, tn, tx, max_visits=max_visits,
                                 candidate_dtype=candidate_dtype,
-                                use_pallas=use_pallas, culling=culling)
+                                use_pallas=use_pallas, culling=culling,
+                                decode=decode)
         # overflow is surfaced (ADVICE r1): the wavefront loop ORs it into an
         # AOV so truncated visit lists are never silently dropped
         return {q: res[q] for q in ("t", "tri", "u", "v", "overflow")}

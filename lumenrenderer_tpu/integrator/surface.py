@@ -36,6 +36,7 @@ class SurfaceData:
     light_row: jnp.ndarray     # (R,) int32 tri->light row (-1 = not a light)
     tri_idx: jnp.ndarray       # (R,) int32 (-1 = miss)
     tangent: jnp.ndarray       # (R,3) world UV-aligned tangent (anisotropy axis)
+    t: jnp.ndarray             # (R,) exact hit distance (inf on miss)
     valid: jnp.ndarray         # (R,) bool hit mask
     is_emissive: jnp.ndarray   # (R,) bool (≙ SurfaceFlags::EMISSIVE)
     front_face: jnp.ndarray    # (R,) bool — ray hit the front side (for IOR)
@@ -76,6 +77,13 @@ def _attr_table(scene: SceneData) -> jnp.ndarray:
             # tri->light inverse row (for MIS light pdf) rides the same
             # gather — a separate (R,) int gather measured 37 ms at 1440p
             scene.lights.tri_to_light[:, None].astype(jnp.float32),  # 35+MW
+            # triangle vertices (p0,e1,e2): exact t/u/v are re-derived HERE
+            # via elementwise Moller-Trumbore instead of a second per-ray
+            # (R,10,4) coefficient gather + einsum in the intersector's
+            # winner decode (measured 59 ms/call + a ~590 MB spike at 1440p)
+            p0,                                      # 36+MW:39+MW
+            e1,                                      # 39+MW:42+MW
+            e2,                                      # 42+MW:45+MW
         ],
         axis=1,
     )
@@ -94,11 +102,32 @@ def extract_surface_data(
     tri = jnp.maximum(hit_tri, 0)
 
     mw = scene.materials.packed().shape[1]
-    att = _attr_table(scene)[tri]    # (R, 35+mw) — THE per-ray gather
+    att = _attr_table(scene)[tri]    # (R, 45+mw) — THE per-ray gather
     # Barrier: many downstream fusions consume `att`; without it XLA
-    # duplicates the (R,~57) gather into each consumer fusion (measured 4x
+    # duplicates the (R,~66) gather into each consumer fusion (measured 4x
     # the gather cost at 1440p). One materialization, then cheap slices.
     att = jax.lax.optimization_barrier(att)
+
+    # Exact t/u/v via elementwise Moller-Trumbore on the gathered vertices:
+    # the tiled intersector's packed winner key only resolves t to
+    # ~2^-(23-low_bits) relative and carries no u/v (≙ the reference gets
+    # exact hit attribs from OptiX per-hit registers). Recomputing here is
+    # fused VPU math on the already-gathered attr row — no extra gather —
+    # and is exact f32 for every accel backend (brute/bvh pass-ins match).
+    p0 = att[:, 36 + mw:39 + mw]
+    e1 = att[:, 39 + mw:42 + mw]
+    e2 = att[:, 42 + mw:45 + mw]
+    pvec = jnp.cross(ray_d, e2)
+    det = vm.dot(e1, pvec)
+    okd = jnp.abs(det) > 1e-14
+    inv_det = jnp.where(okd, 1.0 / jnp.where(okd, det, 1.0), 0.0)
+    tvec = ray_o - p0
+    qvec = jnp.cross(tvec, e1)
+    hit_u = vm.dot(tvec, pvec) * inv_det
+    hit_v = vm.dot(ray_d, qvec) * inv_det
+    t_exact = vm.dot(e2, qvec) * inv_det
+    valid = valid & okd
+    hit_t = jnp.where(valid, t_exact, jnp.inf)
 
     w = (1.0 - hit_u - hit_v)[..., None]
     u_ = hit_u[..., None]
@@ -184,6 +213,7 @@ def extract_surface_data(
         light_row=light_row,
         tri_idx=hit_tri,
         tangent=tangent,
+        t=hit_t,
         valid=valid,
         is_emissive=vm.luminance(emissive) > 0.0,
         front_face=front_face,

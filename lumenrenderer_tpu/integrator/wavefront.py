@@ -213,6 +213,7 @@ def render_wavefront(
                 normal=sg(sd.normal),
                 geo_normal=sg(sd.geo_normal),
                 tangent=sg(sd.tangent),
+                t=sg(sd.t),
             )
         hit_mask = sd.valid & alive
         wo = -ray_d
@@ -220,7 +221,7 @@ def render_wavefront(
         # ---- Beer's-law interior absorption (≙ frosted.cuh / disney.cuh
         # transmission): attenuate by the interior segment just traversed ----
         if cfg.bsdf == "disney" and depth > 0:
-            seg = jnp.where(sd.valid, jnp.minimum(hits["t"], 1e6), 0.0)
+            seg = jnp.where(sd.valid, jnp.minimum(sd.t, 1e6), 0.0)
             throughput = throughput * jnp.exp(-beer_sigma * seg[:, None])
 
         # ---- volumetric segment: in-scatter + transmittance ----
@@ -230,7 +231,7 @@ def render_wavefront(
             from ..volume import march as vmarch
 
             vkey = jax.random.fold_in(dkey, 23)
-            seg_max = jnp.where(sd.valid, hits["t"], jnp.asarray(1e8, f32))
+            seg_max = jnp.where(sd.valid, sd.t, jnp.asarray(1e8, f32))
             v_scatter, v_trans = vmarch.volume_scatter(
                 scene.volumes, light_table, ray_o, ray_d, t_min, seg_max, vkey,
                 occlude_fn, steps=cfg.volume_steps,
@@ -261,7 +262,7 @@ def render_wavefront(
 
         # ---- primary-hit AOVs (denoiser inputs / motion vectors) ----
         if depth == 0:
-            aovs["depth"] = jnp.where(hit_mask, hits["t"], 0.0)
+            aovs["depth"] = jnp.where(hit_mask, sd.t, 0.0)
             aovs["normal"] = jnp.where(hit_mask[:, None], sd.normal, 0.0)
             aovs["albedo"] = jnp.where(hit_mask[:, None], sd.base_color, 0.0)
             aovs["motion"] = camera_mod.motion_vectors(
@@ -277,7 +278,7 @@ def render_wavefront(
             indirect = indirect + jnp.where(hit_mask[:, None], em, 0.0)
         elif cfg.light_strategy == "mis":
             lpdf = nee_mod.light_pdf_solid_angle(
-                light_table, ray_d, hits["t"], sd.light_row
+                light_table, ray_d, sd.t, sd.light_row
             )
             w = jnp.where(
                 prev_specular, 1.0, sg(sampling.power_heuristic(prev_pdf, lpdf))

@@ -63,10 +63,13 @@ class Renderer:
             self.clusters = stream.build_clusters(
                 scene.tri_pos, cluster_size=cluster_size
             )
+            # decode=False: exact t/u/v are re-derived inside
+            # extract_surface_data from its fused attr-table gather (the
+            # in-intersector decode costs a second per-ray gather + einsum)
             isect, occl = tiled.tiled_intersectors(
                 self.clusters, max_visits=max_visits,
                 use_pallas=bool(use_pallas), culling=culling,
-                candidate_dtype=candidate_dtype,
+                candidate_dtype=candidate_dtype, decode=False,
             )
         elif accel == "stream":
             # first-generation pair-stream intersector (kept for comparison)

@@ -307,11 +307,12 @@ def _query(cs: ClusterSet, origins, dirs, t_min, t_max,
                 preferred_element_type=jnp.float32,
             )
         else:
-            # explicit HIGHEST: the TPU matmul default is one bf16 pass,
+            # explicit HIGHEST/HIGH: the TPU matmul default is one bf16 pass,
             # which silently turns "float32" candidates into bf16 ones
             res = jnp.einsum(
                 "trf,tfc->trc", rf, feats, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=(jax.lax.Precision.HIGH if candidate_dtype == "high"
+                           else jax.lax.Precision.HIGHEST),
             )
         det = res[..., 0 * k : 1 * k]
         okd = jnp.abs(det) > 1e-12
@@ -360,8 +361,7 @@ def _query(cs: ClusterSet, origins, dirs, t_min, t_max,
         tnb = jnp.where(
             valid_k, jnp.minimum(tn_bits, KEY_MISS - 1), jnp.int32(KEY_MISS)
         )
-        # Mosaic supports only DEFAULT/HIGHEST dot precisions
-        prec = {"float32": "highest", "high": "highest",
+        prec = {"float32": "highest", "high": "high",
                 "bfloat16": "default"}[candidate_dtype]
         out = pk.visit_scan(
             rf_t, cs.tri_feat, cs.tri_id, sel, nv, tnb,

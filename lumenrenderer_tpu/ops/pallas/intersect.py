@@ -57,14 +57,85 @@ NBUF = 6               # feature DMA slot count (pipeline depth NBUF-1)
 EVERY_N = 4            # early-out check cadence (vector->scalar sync cost)
 
 
+def _make_compute(k: int, k_bits: int, low_bits: int, closest: bool,
+                  precision: str, tmin, tmax, kid):
+    """Per-visit MT candidate test + packed-key / occlusion fold.
+
+    Shared by the DMA-pipelined and VMEM-resident kernels — the only thing
+    that differs between them is where `feats` comes from.
+    """
+    low_mask = ~((1 << low_bits) - 1)
+    dims = (((1,), (0,)), ((), ()))
+
+    def compute(acc, feats, rfm, i):
+        # MT bilinear form: rays on sublanes, candidates on lanes.
+        # The TPU matmul default is ONE bf16 pass, whose 2^-8 operand
+        # rounding flips hit predicates near edges (measured: 2.8% phantom
+        # occlusions, 13% wrong winners on the interior scene) — geometry
+        # tests need more. "highest" = 6-pass exact f32; "high" = manual
+        # 3-pass Dekker split (Mosaic rejects Precision.HIGH): err ~2^-16
+        # relative — 256x tighter than bf16 at half the MXU passes of
+        # HIGHEST (the dropped lo*lo term is ~2^-16).
+        if precision == "high":
+            f10 = feats[:10]
+            f_hi = f10.astype(jnp.bfloat16)
+            f_lo = (f10 - f_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            r_hi = rfm.astype(jnp.bfloat16)
+            r_lo = (rfm - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            res = (
+                jax.lax.dot_general(r_hi, f_hi, dimension_numbers=dims,
+                                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(r_hi, f_lo, dimension_numbers=dims,
+                                      preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(r_lo, f_hi, dimension_numbers=dims,
+                                      preferred_element_type=jnp.float32)
+            )
+        else:
+            res = jax.lax.dot_general(
+                rfm, feats[:10],
+                dimension_numbers=dims,
+                preferred_element_type=jnp.float32,
+                precision={
+                    "highest": jax.lax.Precision.HIGHEST,
+                    "default": jax.lax.Precision.DEFAULT,
+                }[precision],
+            )                           # (128, 4K)
+        det = res[:, 0 * k:1 * k]
+        un = res[:, 1 * k:2 * k]
+        vn = res[:, 2 * k:3 * k]
+        tn_ = res[:, 3 * k:4 * k]
+        s = jnp.sign(det)
+        ad = det * s                    # |det|
+        us = un * s
+        vs = vn * s
+        ts = tn_ * s
+        hit = (
+            (ad > 1e-12)
+            & (us >= 0.0)
+            & (vs >= 0.0)
+            & (us + vs <= ad)
+            & (ts > tmin * ad)
+            & (ts <= tmax * ad)
+        )
+        if not closest:
+            occ = jnp.any(hit, axis=1, keepdims=True)
+            return acc | occ.astype(jnp.int32)
+        # ordering key: approximate t (one polished reciprocal);
+        # exact winner values are re-derived host-side from the key
+        ad_safe = jnp.where(ad > 1e-12, ad, 1.0)
+        inv = pl.reciprocal(ad_safe, approx=True)
+        inv = inv * (2.0 - ad_safe * inv)
+        tval = ts * inv
+        tb = pltpu.bitcast(jnp.maximum(tval, 0.0), jnp.int32)
+        key = (tb & jnp.int32(low_mask)) | (i << k_bits) | kid
+        key = jnp.where(hit, key, jnp.int32(KEY_MISS))
+        return jnp.minimum(acc, jnp.min(key, axis=1, keepdims=True))
+
+    return compute
+
+
 def _make_kernel(k: int, mv: int, k_bits: int, low_bits: int, closest: bool,
                  precision: str = "highest"):
-    low_mask = ~((1 << low_bits) - 1)
-    prec = {
-        "highest": jax.lax.Precision.HIGHEST,
-        "high": jax.lax.Precision.HIGH,
-        "default": jax.lax.Precision.DEFAULT,
-    }[precision]
 
     def kernel(sel0_ref, nv_ref, rf_ref, selv_ref, tnbv_ref, first_ref,
                feats_ref, out_ref, fbuf, sems, srow, trow, rsem):
@@ -115,6 +186,8 @@ def _make_kernel(k: int, mv: int, k_bits: int, low_bits: int, closest: bool,
             acc0 = dead.astype(jnp.int32)  # dead lanes count as occluded
 
         kid = jax.lax.broadcasted_iota(jnp.int32, (RT, k), 1)
+        compute_fn = _make_compute(k, k_bits, low_bits, closest, precision,
+                                   tmin, tmax, kid)
 
         def body(i, carry):
             done, acc = carry
@@ -126,51 +199,10 @@ def _make_kernel(k: int, mv: int, k_bits: int, low_bits: int, closest: bool,
             slot = jax.lax.rem(jnp.maximum(i - 1, 0), NBUF)
             feats = jnp.where(i == 0, first_ref[0], fbuf[slot])  # (16, 4K)
 
-            def compute(acc):
-                # MT bilinear form: rays on sublanes, candidates on lanes.
-                # precision=HIGHEST: the TPU default is ONE bf16 pass, whose
-                # 2^-8 operand rounding flips hit predicates near edges
-                # (measured: 2.8% phantom occlusions, 13% wrong winners on
-                # the interior scene) — geometry tests need f32 fidelity.
-                res = jax.lax.dot_general(
-                    rfm, feats[:10],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=prec,
-                )                               # (128, 4K)
-                det = res[:, 0 * k:1 * k]
-                un = res[:, 1 * k:2 * k]
-                vn = res[:, 2 * k:3 * k]
-                tn_ = res[:, 3 * k:4 * k]
-                s = jnp.sign(det)
-                ad = det * s                    # |det|
-                us = un * s
-                vs = vn * s
-                ts = tn_ * s
-                hit = (
-                    (ad > 1e-12)
-                    & (us >= 0.0)
-                    & (vs >= 0.0)
-                    & (us + vs <= ad)
-                    & (ts > tmin * ad)
-                    & (ts <= tmax * ad)
-                )
-                if not closest:
-                    occ = jnp.any(hit, axis=1, keepdims=True)
-                    return acc | occ.astype(jnp.int32)
-                # ordering key: approximate t (one polished reciprocal);
-                # exact winner values are re-derived host-side from the key
-                ad_safe = jnp.where(ad > 1e-12, ad, 1.0)
-                inv = pl.reciprocal(ad_safe, approx=True)
-                inv = inv * (2.0 - ad_safe * inv)
-                tval = ts * inv
-                tb = pltpu.bitcast(jnp.maximum(tval, 0.0), jnp.int32)
-                key = (tb & jnp.int32(low_mask)) | (i << k_bits) | kid
-                key = jnp.where(hit, key, jnp.int32(KEY_MISS))
-                return jnp.minimum(acc, jnp.min(key, axis=1, keepdims=True))
-
             # lax.cond (not where): the skip must actually elide the compute
-            new_acc = jax.lax.cond(done, lambda a: a, compute, acc)
+            new_acc = jax.lax.cond(
+                done, lambda a: a, lambda a: compute_fn(a, feats, rfm, i), acc
+            )
 
             # the done check reads a vector reduction into the scalar unit —
             # a cross-unit sync — so amortize it over EVERY_N visits
@@ -203,11 +235,80 @@ def _make_kernel(k: int, mv: int, k_bits: int, low_bits: int, closest: bool,
     return kernel
 
 
+def _make_kernel_resident(k: int, mv: int, k_bits: int, low_bits: int,
+                          closest: bool, precision: str = "highest"):
+    """VMEM-resident variant: the WHOLE cluster feature table lives in VMEM
+    (constant-index BlockSpec, loaded once for the entire grid), so the visit
+    loop is back-to-back MXU matmuls with a dynamic VMEM slice per visit —
+    zero per-visit DMA. The DMA-pipelined kernel above was measured
+    latency-bound at bench scale (~345k 64 KB HBM fetches/call); scenes up to
+    RESIDENT_BYTES of features (≈32k tris at K=256) take this path.
+    """
+
+    def kernel(sel0_ref, nv_ref, rf_ref, selv_ref, tnbv_ref, feats_ref,
+               out_ref, srow, trow, rsem):
+        t = pl.program_id(0)
+        row = jax.lax.rem(t, 8)
+        n = nv_ref[t]
+        rf = rf_ref[0]                    # (128, 12)
+        rfm = rf[:, :10]
+        tmin = rf[:, 10:11]
+        tmax = rf[:, 11:12]
+        dead = tmax < tmin
+
+        @pl.when(row == 0)
+        def _():
+            cps = pltpu.make_async_copy(selv_ref.at[t // 8], srow, rsem.at[0])
+            cpt = pltpu.make_async_copy(tnbv_ref.at[t // 8], trow, rsem.at[1])
+            cps.start()
+            cpt.start()
+            cps.wait()
+            cpt.wait()
+
+        if closest:
+            acc0 = jnp.where(dead, 0, KEY_MISS).astype(jnp.int32)
+        else:
+            acc0 = dead.astype(jnp.int32)
+
+        kid = jax.lax.broadcasted_iota(jnp.int32, (RT, k), 1)
+        compute_fn = _make_compute(k, k_bits, low_bits, closest, precision,
+                                   tmin, tmax, kid)
+
+        def body(i, carry):
+            done, acc = carry
+            feats = feats_ref[srow[row, i]]          # (FR, 4K) VMEM slice
+            new_acc = jax.lax.cond(
+                done, lambda a: a, lambda a: compute_fn(a, feats, rfm, i), acc
+            )
+
+            def check(_):
+                if closest:
+                    nxt = trow[row, jnp.minimum(i + 1, mv - 1)]
+                    best_hi = jnp.max(new_acc) >> low_bits
+                    return done | (best_hi < (nxt >> low_bits))
+                return done | (jnp.min(new_acc) > 0)
+
+            new_done = jax.lax.cond(
+                jax.lax.rem(i, EVERY_N) == EVERY_N - 1,
+                check, lambda _: done, 0,
+            )
+            return (new_done, new_acc)
+
+        _, fin = jax.lax.fori_loop(0, n, body, (n <= 0, acc0))
+        out_ref[0, pl.ds(row, 1), :] = fin.astype(jnp.int32).T
+
+    return kernel
+
+
+RESIDENT_BYTES = 8 * 1024 * 1024   # feature tables up to this stay in VMEM
+
+
 @partial(jax.jit, static_argnames=("k", "mv", "k_bits", "low_bits", "closest",
-                                   "interpret", "precision"))
+                                   "interpret", "precision", "resident"))
 def visit_scan(rf_t, feats, tri_id, sel, nv, tnb, *, k: int, mv: int,
                k_bits: int, low_bits: int, closest: bool,
-               interpret: bool = False, precision: str = "highest"):
+               interpret: bool = False, precision: str = "highest",
+               resident: bool | str = "auto"):
     """Run the fused visit loop.
 
     rf_t:  (T, 128, 12) f32 — cols 0-9 MT ray features, col 10 per-ray t_min,
@@ -229,7 +330,8 @@ def visit_scan(rf_t, feats, tri_id, sel, nv, tnb, *, k: int, mv: int,
     fk = feats.shape[-1]
     # pad feature rows 10 -> 16 (HBM DMA slices need 8-aligned sublanes)
     feats16 = jnp.pad(feats, ((0, 0), (0, FR - feats.shape[1]), (0, 0)))
-    kernel = _make_kernel(k, mv, k_bits, low_bits, closest, precision)
+    if resident == "auto":
+        resident = feats16.size * 4 <= RESIDENT_BYTES
     # SMEM is ~1 MB: only the per-TILE scalars (first cluster id + visit
     # count) are scalar-prefetched; the (T, mv) visit lists are padded to
     # full 128-lane rows and group-DMA'd to SMEM inside the kernel.
@@ -239,6 +341,41 @@ def visit_scan(rf_t, feats, tri_id, sel, nv, tnb, *, k: int, mv: int,
     selv = jnp.pad(sel.astype(jnp.int32), pad).reshape(tiles // 8, 8, mvp)
     tnbv = jnp.pad(tnb.astype(jnp.int32), pad, constant_values=KEY_MISS
                    ).reshape(tiles // 8, 8, mvp)
+    if resident:
+        kernel = _make_kernel_resident(k, mv, k_bits, low_bits, closest,
+                                       precision)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(tiles,),
+            in_specs=[
+                pl.BlockSpec((1, RT, 12), lambda t, sel0, nv: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                # ENTIRE feature table in VMEM; constant index map => loaded
+                # once, resident across all grid programs
+                pl.BlockSpec(feats16.shape,
+                             lambda t, sel0, nv: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 8, RT), lambda t, sel0, nv: (t // 8, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.SMEM((8, mvp), jnp.int32),
+                pltpu.SMEM((8, mvp), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((tiles // 8, 8, RT), jnp.int32),
+            interpret=interpret,
+        )(sel0, nv, rf_t, selv, tnbv, feats16)
+        return out.reshape(tiles, RT)
+    kernel = _make_kernel(k, mv, k_bits, low_bits, closest, precision)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(tiles,),

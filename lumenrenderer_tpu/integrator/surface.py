@@ -43,12 +43,14 @@ class SurfaceData:
 
 
 def _attr_table(scene: SceneData) -> jnp.ndarray:
-    """Per-triangle flat attribute table (N, 56): geometric normal, vertex
-    normals, UVs, tangents, packed material row, instance emission override.
+    """Per-triangle flat attribute table (N, 45+MW): geometric normal, vertex
+    normals, UVs, tangents, packed material row, instance emission override,
+    and the triangle vertices for exact-hit re-derivation.
 
     Column layout: geo_n 0:3 | normals 3:12 | uv 12:18 | tangent 18:30 |
-    material 30:30+MW | emission mode 30+MW | emission override last 3
-    (MW = materials.packed() width).
+    material 30:30+MW | emission mode 30+MW | emission override 31+MW:34+MW |
+    mat idx 34+MW | light row 35+MW | p0 36+MW:39+MW | e1 39+MW:42+MW |
+    e2 42+MW:45+MW (MW = materials.packed() width).
 
     Built from the SoA scene pytree ONCE per frame (pure elementwise ops over
     N + two N-row gathers); the per-RAY access in `extract_surface_data` is
@@ -98,6 +100,10 @@ def extract_surface_data(
     hit_u: jnp.ndarray,
     hit_v: jnp.ndarray,
 ) -> SurfaceData:
+    """NOTE: the passed-in hit_t/hit_u/hit_v are intentionally IGNORED — exact
+    t/u/v are re-derived below from the winner triangle's vertices (fused into
+    the attr-table gather). Intersectors only need to supply a correct
+    `hit_tri`; quantized t / zero u,v from the tiled fast path are fine."""
     valid = hit_tri >= 0
     tri = jnp.maximum(hit_tri, 0)
 
@@ -128,6 +134,12 @@ def extract_surface_data(
     t_exact = vm.dot(e2, qvec) * inv_det
     valid = valid & okd
     hit_t = jnp.where(valid, t_exact, jnp.inf)
+    # miss/dead lanes were clamped to tri 0 for the gather: their recomputed
+    # barycentrics are against an unrelated triangle and can reach ~1e17 near
+    # the det guard — inf texture weights then 0*inf NaNs that permanently
+    # poison the accumulator (ADVICE r3). Mask them like t.
+    hit_u = jnp.where(valid, hit_u, 0.0)
+    hit_v = jnp.where(valid, hit_v, 0.0)
 
     w = (1.0 - hit_u - hit_v)[..., None]
     u_ = hit_u[..., None]

@@ -127,13 +127,16 @@ def render_wavefront(
         # Detach geometry through the accel structure: reverse-mode AD cannot
         # (and must not) flow through the traversal while_loop; hit ids/t are
         # discrete/geometric and carry no material gradients.
+        # NOTE: tn/tx must be detached too — t_max_ray depends on `alive`
+        # → throughput → differentiated materials, and a live tangent
+        # reaching pallas_call raises NotImplementedError (VERDICT r3 #3).
         raw_isect, raw_occl = intersect_fn, occlude_fn
+        _sg = jax.lax.stop_gradient
         intersect_fn = lambda o, d, tn, tx: jax.tree_util.tree_map(
-            jax.lax.stop_gradient,
-            raw_isect(jax.lax.stop_gradient(o), jax.lax.stop_gradient(d), tn, tx),
+            _sg, raw_isect(_sg(o), _sg(d), _sg(tn), _sg(tx))
         )
-        occlude_fn = lambda o, d, tn, tx: jax.lax.stop_gradient(
-            raw_occl(jax.lax.stop_gradient(o), jax.lax.stop_gradient(d), tn, tx)
+        occlude_fn = lambda o, d, tn, tx: _sg(
+            raw_occl(_sg(o), _sg(d), _sg(tn), _sg(tx))
         )
 
     # ---- primary rays (≙ GeneratePrimaryRays, Halton jitter) ----
@@ -214,6 +217,10 @@ def render_wavefront(
                 geo_normal=sg(sd.geo_normal),
                 tangent=sg(sd.tangent),
                 t=sg(sd.t),
+                # uv is recomputed from tri_pos/ray inside extract (ADVICE
+                # r3): inv_det can reach 1e14 near the det guard — keep the
+                # detached-sampling discipline on texture lookups too
+                uv=sg(sd.uv),
             )
         hit_mask = sd.valid & alive
         wo = -ray_d

@@ -38,6 +38,7 @@ def _surface(n_rays, spec: MaterialSpec, normal=(0.0, 0.0, 1.0),
         light_row=jnp.full((n_rays,), -1, jnp.int32),
         tri_idx=jnp.zeros((n_rays,), jnp.int32),
         tangent=vec(tangent),
+        t=one,
         valid=one > 0.0,
         is_emissive=one < 0.0,
         front_face=one > 0.0,

@@ -140,3 +140,38 @@ def test_gradient_through_disney():
     # detached wi doesn't change with rough at eval... it does via sampling!)
     # -> FD here includes sampling change; allow loose agreement in sign/scale
     assert np.isfinite(fd)
+
+
+def test_gradient_through_production_tiled_pallas():
+    """VERDICT r3 #3: jax.grad through the PRODUCTION intersector (tiled +
+    Pallas visit kernel; interpret mode on CPU, compiled on TPU). The r3 tree
+    crashed here with NotImplementedError from _pallas_call_jvp_rule because
+    t_max carried a live tangent into the kernel."""
+    from lumenrenderer_tpu.accel import tiled
+    from lumenrenderer_tpu.accel.stream import build_clusters
+
+    scene, camf = presets.cornell_box(with_blocks=True)
+    sc, cam = scene.build(), camf(1.0)
+    cs = build_clusters(sc.tri_pos, cluster_size=32)
+    isect, occl = tiled.tiled_intersectors(
+        cs, max_visits=8, use_pallas=True, decode=False
+    )
+    cfg = RenderConfig(
+        width=16, height=16, max_depth=3, bsdf="lambert",
+        light_strategy="mis", rr_start_depth=99, jitter="center",
+    )
+    key = jax.random.PRNGKey(7)
+
+    def loss(s):
+        em = sc.materials.emissive
+        sc2 = sc.replace(materials=sc.materials.replace(emissive=em * s))
+        out = render_wavefront(sc2, isect, occl, cam, key, jnp.uint32(0), cfg)
+        return merge_channels(out).mean()
+
+    f = jax.jit(loss)
+    g = jax.jit(jax.grad(loss))
+    s0 = jnp.float32(1.0)
+    ad = float(g(s0))
+    fd = float(_fd(f, s0, jnp.float32(0.25)))  # image linear in emission
+    assert np.isfinite(ad) and ad > 0
+    np.testing.assert_allclose(ad, fd, rtol=2e-3)

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from ..core import vecmath as vm
 from ..scene.scene import SceneData
-from ..scene.textures import sample_bilinear
+from ..scene.textures import sample_bilinear, sample_trilinear
 
 
 @chex.dataclass(frozen=True)
@@ -86,8 +86,25 @@ def _attr_table(scene: SceneData) -> jnp.ndarray:
             p0,                                      # 36+MW:39+MW
             e1,                                      # 39+MW:42+MW
             e2,                                      # 42+MW:45+MW
+            # mip LOD base: 0.5*log2(A_uv/A_world) per triangle (texels per
+            # world length enters at sample time per texture) — 45+MW
+            _lod_base(scene)[:, None],
         ],
         axis=1,
+    )
+
+
+def _lod_base(scene: SceneData) -> jnp.ndarray:
+    """Per-triangle 0.5*log2(UV area / world area): the triangle's UV density
+    term of the ray-footprint mip LOD (texture W*H enters per texture)."""
+    e1 = scene.tri_pos[:, 1] - scene.tri_pos[:, 0]
+    e2 = scene.tri_pos[:, 2] - scene.tri_pos[:, 0]
+    a_world = 0.5 * jnp.linalg.norm(jnp.cross(e1, e2), axis=-1)
+    duv1 = scene.tri_uv[:, 1] - scene.tri_uv[:, 0]
+    duv2 = scene.tri_uv[:, 2] - scene.tri_uv[:, 0]
+    a_uv = 0.5 * jnp.abs(duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0])
+    return 0.5 * jnp.log2(
+        jnp.maximum(a_uv, 1e-20) / jnp.maximum(a_world, 1e-20)
     )
 
 
@@ -99,8 +116,18 @@ def extract_surface_data(
     hit_tri: jnp.ndarray,
     hit_u: jnp.ndarray,
     hit_v: jnp.ndarray,
+    mip_spread=None,
+    mip_dist0=None,
+    detach_geom: bool = False,
 ) -> SurfaceData:
-    """NOTE: the passed-in hit_t/hit_u/hit_v are intentionally IGNORED — exact
+    """mip_spread/mip_dist0: optional ray-footprint mip selection (≙ the
+    reference's mipmapped texture sampling, `PTTexture.cpp:64-65`):
+    footprint at the hit = mip_spread * (mip_dist0 + t) / sqrt(|cos|), where
+    mip_spread is the per-ray angular pixel spread (scalar ok) and mip_dist0
+    the path distance accumulated before this segment. When omitted, texture
+    lookups are level-0 bilinear (pre-round-4 behavior).
+
+    NOTE: the passed-in hit_t/hit_u/hit_v are intentionally IGNORED — exact
     t/u/v are re-derived below from the winner triangle's vertices (fused into
     the attr-table gather). Intersectors only need to supply a correct
     `hit_tri`; quantized t / zero u,v from the tiled fast path are fine."""
@@ -132,6 +159,13 @@ def extract_surface_data(
     hit_u = vm.dot(tvec, pvec) * inv_det
     hit_v = vm.dot(ray_d, qvec) * inv_det
     t_exact = vm.dot(e2, qvec) * inv_det
+    if detach_geom:
+        # detached-sampling discipline (ADVICE r3): inv_det reaches ~1e14
+        # near the det guard — keep geometry-chain gradients (via uv/lod
+        # into texture lookups) out of reverse mode entirely
+        hit_u = jax.lax.stop_gradient(hit_u)
+        hit_v = jax.lax.stop_gradient(hit_v)
+        t_exact = jax.lax.stop_gradient(t_exact)
     valid = valid & okd
     hit_t = jnp.where(valid, t_exact, jnp.inf)
     # miss/dead lanes were clamped to tri 0 for the gather: their recomputed
@@ -177,10 +211,23 @@ def extract_surface_data(
     # no material references any texture — skip all sampling gathers
     has_textures = scene.textures.count > 1
     if has_textures:
-        base_tex = sample_bilinear(scene.textures, mats.base_color_tex[mat_idx], uv)
+        if mip_spread is not None:
+            cos_d = jnp.abs(vm.dot(geo_normal, ray_d))
+            fp = (
+                mip_spread
+                * (hit_t if mip_dist0 is None else mip_dist0 + hit_t)
+                / jnp.sqrt(jnp.maximum(cos_d, 0.02))
+            )
+            fp = jnp.where(valid, fp, 1.0)
+            lod_uv = jnp.log2(jnp.maximum(fp, 1e-20)) + att[:, 45 + mw]
+            _sample = lambda tid, u: sample_trilinear(
+                scene.textures, tid, u, lod_uv)
+        else:
+            _sample = lambda tid, u: sample_bilinear(scene.textures, tid, u)
+        base_tex = _sample(mats.base_color_tex[mat_idx], uv)
         base_color = g.base_color * base_tex[..., :3]
         alpha = base_tex[..., 3]
-        em_tex = sample_bilinear(scene.textures, mats.emissive_tex[mat_idx], uv)
+        em_tex = _sample(mats.emissive_tex[mat_idx], uv)
         emissive = g.emissive * em_tex[..., :3]
     else:
         base_color = g.base_color
@@ -193,14 +240,14 @@ def extract_surface_data(
     emissive = jnp.where((mode == 0.0)[..., None], 0.0, emissive)
 
     if has_textures:
-        mr_tex = sample_bilinear(scene.textures, mats.metal_rough_tex[mat_idx], uv)
+        mr_tex = _sample(mats.metal_rough_tex[mat_idx], uv)
         # glTF convention: G = roughness, B = metallic
         roughness = g.roughness * mr_tex[..., 1]
         metallic = g.metallic * mr_tex[..., 2]
 
         # normal mapping (≙ GPUExtractSurfaceData tangent-frame perturbation)
         nm_id = mats.normal_tex[mat_idx]
-        nm = sample_bilinear(scene.textures, nm_id, uv)[..., :3] * 2.0 - 1.0
+        nm = _sample(nm_id, uv)[..., :3] * 2.0 - 1.0
         bitan = jnp.cross(normal, tangent) * handed[..., None]
         mapped = vm.normalize(
             nm[..., 0:1] * tangent + nm[..., 1:2] * bitan + nm[..., 2:3] * normal

@@ -79,6 +79,9 @@ class RenderConfig:
     # Sort secondary (bounce + shadow) rays by direction octant + origin
     # Morton cell before intersection (coherent tiles for big scenes)
     sort_secondary: bool = False
+    # Mipmapped texture sampling (≙ PTTexture.cpp:64-65): ray-footprint
+    # trilinear LOD; level-0 bilinear when off. No cost for untextured scenes.
+    mipmaps: bool = True
 
     @property
     def num_pixels(self) -> int:
@@ -173,6 +176,16 @@ def render_wavefront(
 
     t_min = jnp.asarray(RAY_EPS, f32)
     t_max = camera.t_max
+    # ray-footprint mip selection: per-pixel angular spread (the camera's
+    # vertical half-screen vector v spans height/2 pixels) + accumulated path
+    # distance as the footprint driver (bounce rays keep widening)
+    use_mips = cfg.mipmaps and scene.textures.count > 1
+    if use_mips:
+        mip_spread = 2.0 * jnp.linalg.norm(camera.v) / cfg.height
+        path_dist = jnp.zeros((n,), f32)
+    else:
+        mip_spread = None
+        path_dist = None
     # packed per-frame light table: geometry + differentiable radiance +
     # selection pdf in ONE (L,17) matrix; per-ray selection+fetch is a single
     # one-hot matmul (≙ GPUShadeDirect.cu:83 CDF sampling, re-architected
@@ -206,8 +219,12 @@ def render_wavefront(
             # truncation can silently lose hits; see accel/tiled.py)
             overflow_any = overflow_any | hits["overflow"]
         sd = extract_surface_data(
-            scene, ray_o, ray_d, hits["t"], hits["tri"], hits["u"], hits["v"]
+            scene, ray_o, ray_d, hits["t"], hits["tri"], hits["u"], hits["v"],
+            mip_spread=mip_spread, mip_dist0=path_dist,
+            detach_geom=cfg.detach_sampling,
         )
+        if use_mips:
+            path_dist = path_dist + jnp.where(sd.valid, sg(sd.t), 0.0)
         if cfg.detach_sampling:
             # geometry is static w.r.t. differentiated params — detach it so
             # no grads are attempted through ray-position chains

@@ -37,6 +37,17 @@ from .surface import SurfaceData, extract_surface_data
 
 RAY_EPS = 1e-3
 
+# stage names for RenderConfig.debug_checks reporting (order matters: the
+# encoded index is depth * len(DEBUG_STAGES) + stage + 1)
+DEBUG_STAGES = (
+    "intersect",
+    "extract_surface_data",
+    "volumetric",
+    "emissive/light channels",
+    "nee/shade_direct",
+    "bsdf_sample/throughput",
+)
+
 
 @dataclasses.dataclass(frozen=True)
 class RenderConfig:
@@ -82,6 +93,12 @@ class RenderConfig:
     # Mipmapped texture sampling (≙ PTTexture.cpp:64-65): ray-footprint
     # trilinear LOD; level-0 bilinear when off. No cost for untextured scenes.
     mipmaps: bool = True
+    # Production NaN/Inf guard (≙ CudaUtilities.h CHECK macros + the device
+    # pdf/NaN asserts, ReSTIRKernels.cu:879-899): every stage output is
+    # finite-checked; the frame reports the FIRST offending stage in
+    # out["debug_first_bad"] (0 = clean, else 1-based stage index into
+    # DEBUG_STAGES). Renderer raises with the stage name when enabled.
+    debug_checks: bool = False
 
     @property
     def num_pixels(self) -> int:
@@ -171,6 +188,22 @@ def render_wavefront(
     specular_ch = jnp.zeros((n, 3), f32)
     volumetric_ch = jnp.zeros((n, 3), f32)
     overflow_any = jnp.zeros((), bool)
+
+    # ---- production NaN/Inf guard (cfg.debug_checks) ----
+    first_bad = jnp.zeros((), jnp.int32)
+    if cfg.debug_checks:
+        def chk(stage: str, depth_i: int, *arrs):
+            nonlocal first_bad
+            idx = depth_i * len(DEBUG_STAGES) + DEBUG_STAGES.index(stage) + 1
+            bad = jnp.zeros((), bool)
+            for a in arrs:
+                if a is None or not jnp.issubdtype(a.dtype, jnp.floating):
+                    continue
+                bad = bad | ~jnp.all(jnp.isfinite(a))
+            first_bad = jnp.where((first_bad == 0) & bad, idx, first_bad)
+    else:
+        def chk(stage: str, depth_i: int, *arrs):
+            pass
     aovs: Dict[str, jnp.ndarray] = {}
     new_restir_state = restir_state
 
@@ -218,6 +251,8 @@ def render_wavefront(
             # surface culling overflow instead of dropping it (visit-list
             # truncation can silently lose hits; see accel/tiled.py)
             overflow_any = overflow_any | hits["overflow"]
+        chk("intersect", depth,
+            jnp.where(jnp.isinf(hits["t"]), 0.0, hits["t"]))
         sd = extract_surface_data(
             scene, ray_o, ray_d, hits["t"], hits["tri"], hits["u"], hits["v"],
             mip_spread=mip_spread, mip_dist0=path_dist,
@@ -241,6 +276,12 @@ def render_wavefront(
             )
         hit_mask = sd.valid & alive
         wo = -ray_d
+        chk("extract_surface_data", depth,
+            jnp.where(hit_mask[:, None], sd.position, 0.0),
+            jnp.where(hit_mask[:, None], sd.normal, 0.0),
+            jnp.where(hit_mask[:, None], sd.base_color, 0.0),
+            jnp.where(hit_mask[:, None], sd.emissive, 0.0),
+            jnp.where(hit_mask, sd.roughness, 0.0))
 
         # ---- Beer's-law interior absorption (≙ frosted.cuh / disney.cuh
         # transmission): attenuate by the interior segment just traversed ----
@@ -267,6 +308,7 @@ def render_wavefront(
             throughput = throughput * jnp.where(
                 alive[:, None], v_trans[:, None], 1.0
             )
+            chk("volumetric", depth, volumetric_ch, throughput)
 
         # ---- miss: environment contribution ----
         env_contrib = jnp.where(
@@ -314,6 +356,8 @@ def render_wavefront(
             )
             indirect = indirect + jnp.where(first_specular[:, None], 0.0, em_w)
         # "nee": bounce emissive dropped, matching the reference.
+
+        chk("emissive/light channels", depth, direct, indirect, specular_ch)
 
         # ---- stochastic alpha transparency ----
         if cfg.alpha_test:
@@ -382,6 +426,7 @@ def render_wavefront(
                 )
                 scale = scale * sg(v_tr)
             shadowed = throughput * f_val * ls.radiance * scale[:, None]
+            chk("nee/shade_direct", depth, shadowed)
             if depth == 0:
                 direct = direct + shadowed
             else:
@@ -463,6 +508,9 @@ def render_wavefront(
                 )
                 beer_sigma = jnp.where(exit_[:, None], 0.0, beer_sigma)
             alive = next_alive & (jnp.max(throughput, axis=-1) > 0.0)
+            chk("bsdf_sample/throughput", depth,
+                jnp.where(alive[:, None], throughput, 0.0),
+                jnp.where(alive[:, None], ray_d, 0.0))
         elif cfg.alpha_test:
             # alpha passthrough at the depth horizon: the continuation ray is
             # never traced, so at least credit the environment (otherwise
@@ -484,7 +532,17 @@ def render_wavefront(
         out = {k2: v[inv_ids] for k2, v in out.items()}
     out["overflow"] = overflow_any
     out["restir_state"] = new_restir_state
+    if cfg.debug_checks:
+        out["debug_first_bad"] = first_bad
     return out
+
+
+def decode_debug_stage(first_bad: int) -> Optional[str]:
+    """Map out["debug_first_bad"] to "stage (depth d)"; None when clean."""
+    if first_bad == 0:
+        return None
+    i = int(first_bad) - 1
+    return f"{DEBUG_STAGES[i % len(DEBUG_STAGES)]} (depth {i // len(DEBUG_STAGES)})"
 
 
 def merge_channels(out: Dict[str, jnp.ndarray]) -> jnp.ndarray:

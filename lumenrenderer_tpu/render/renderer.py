@@ -140,7 +140,8 @@ class Renderer:
             )
             aux = {
                 k: out[k]
-                for k in ("depth", "normal", "albedo", "motion", "overflow")
+                for k in ("depth", "normal", "albedo", "motion", "overflow",
+                          "debug_first_bad")
                 if k in out
             }
             return new_st, aux
@@ -160,6 +161,15 @@ class Renderer:
         t0 = time.perf_counter()
         new_st, aux = self._step(st, camera, self.scene)
         jax.block_until_ready(new_st.accum)
+        if self.config.debug_checks and "debug_first_bad" in aux:
+            # debug mode: one scalar D2H read per frame, by design
+            bad = wavefront.decode_debug_stage(int(aux["debug_first_bad"]))
+            if bad is not None:
+                raise RuntimeError(
+                    f"debug_checks: non-finite value first produced by "
+                    f"stage {bad!r} (≙ the reference's CHECKCUDAERROR + "
+                    f"device NaN asserts, CudaUtilities.h:6-106)"
+                )
         # NOTE: no device->host reads here — scalar D2H over a remote
         # tunnel can cost more than the frame itself
         self._frames_done = getattr(self, "_frames_done", 0) + 1

@@ -52,8 +52,9 @@ def main() -> int:
         width=w, height=h, max_depth=depth, bsdf="disney",
         light_strategy="nee" if use_restir else "mis", use_restir=use_restir,
     )
-    cluster = int(os.environ.get("BENCH_CLUSTER", 256))
-    mv = int(os.environ.get("BENCH_MV", 12))
+    cluster = int(os.environ.get("BENCH_CLUSTER", 128))
+    mv = os.environ.get("BENCH_MV", "auto")
+    mv = int(mv) if mv != "auto" else mv
     use_pallas = {"1": True, "0": False}.get(
         os.environ.get("BENCH_PALLAS", ""), "auto"
     )

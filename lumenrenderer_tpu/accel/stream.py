@@ -328,3 +328,53 @@ def stream_intersectors(cs: ClusterSet, max_pairs_per_ray: int = 8) -> Tuple:
         return intersect_any(cs, o, d, tn, tx, max_pairs_per_ray=max_pairs_per_ray)
 
     return isect, occl
+
+
+def refit_clusters(cs: ClusterSet, tri_pos: jnp.ndarray) -> ClusterSet:
+    """Device-side cluster REFIT for dynamic scenes (round 4, ≙ the
+    reference's AS update on transform dirt, `PTScene.cpp:77-160` /
+    `PTMeshInstance.cpp:74-105` — it rebuilds; we refit, the standard
+    BLAS-refit trade: topology/partition stays, boxes + MT features update).
+
+    Pure jnp, jit-safe: cluster membership (tri_id) is static; AABBs and the
+    blocked MT coefficient columns are recomputed from the new (T,3,3)
+    world-space tri_pos. The second-level tree is refit CONSERVATIVELY (every
+    node box = global bounds): sound for the tree-culling path, exact for
+    the default frustum/dense culling which only reads cluster AABBs.
+    """
+    ids = cs.tri_id                                  # (C,K)
+    valid = ids >= 0
+    k = cs.tris_per_cluster
+    c = ids.shape[0]
+    tri3 = tri_pos[jnp.maximum(ids, 0)]              # (C,K,3,3)
+    big = jnp.float32(1e30)
+    tlo = jnp.where(valid[..., None], jnp.min(tri3, axis=2), big)
+    thi = jnp.where(valid[..., None], jnp.max(tri3, axis=2), -big)
+    lo = jnp.min(tlo, axis=1)
+    hi = jnp.max(thi, axis=1)
+    lo = jnp.where(jnp.isfinite(lo) & (jnp.abs(lo) < big), lo, big)
+    hi = jnp.where(jnp.isfinite(hi) & (jnp.abs(hi) < big), hi, -big)
+
+    p0 = tri3[:, :, 0]
+    e1 = tri3[:, :, 1] - p0
+    e2 = tri3[:, :, 2] - p0
+    n = jnp.cross(e1, e2)
+    vz = valid[..., None]
+    z3 = lambda a: jnp.where(vz, a, 0.0).transpose(0, 2, 1)  # (C,3,K)
+    feat = jnp.zeros((c, 10, 4 * k), jnp.float32)
+    feat = feat.at[:, 3:6, 0 * k:1 * k].set(z3(-n))
+    feat = feat.at[:, 0:3, 1 * k:2 * k].set(z3(e2))
+    feat = feat.at[:, 3:6, 1 * k:2 * k].set(z3(jnp.cross(p0, e2)))
+    feat = feat.at[:, 0:3, 2 * k:3 * k].set(z3(-e1))
+    feat = feat.at[:, 3:6, 2 * k:3 * k].set(z3(-jnp.cross(p0, e1)))
+    feat = feat.at[:, 6:9, 3 * k:4 * k].set(z3(n))
+    feat = feat.at[:, 9, 3 * k:4 * k].set(
+        jnp.where(valid, -jnp.einsum("ckj,ckj->ck", p0, n), 0.0))
+
+    glo = jnp.min(jnp.where(jnp.abs(lo) < big, lo, big), axis=0)
+    ghi = jnp.max(jnp.where(jnp.abs(hi) < big, hi, -big), axis=0)
+    return cs.replace(
+        aabb_lo=lo, aabb_hi=hi, tri_feat=feat,
+        tree_lo=jnp.broadcast_to(glo, cs.tree_lo.shape),
+        tree_hi=jnp.broadcast_to(ghi, cs.tree_hi.shape),
+    )

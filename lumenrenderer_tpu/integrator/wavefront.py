@@ -87,9 +87,10 @@ class RenderConfig:
     # tile (compact frusta for hierarchical culling on big scenes). Not
     # compatible with ReSTIR's pixel-grid neighbour logic yet.
     swizzle: bool = False
-    # Sort secondary (bounce + shadow) rays by direction octant + origin
-    # Morton cell before intersection (coherent tiles for big scenes)
-    sort_secondary: bool = False
+    # Sort secondary rays for intersector coherence (round 4 default ON):
+    # block-local partition — bounce rays by direction octant, shadow rays by
+    # light-endpoint cell (accel/sorting.py:blocked_sorted_intersectors)
+    sort_secondary: bool = True
     # Mipmapped texture sampling (≙ PTTexture.cpp:64-65): ray-footprint
     # trilinear LOD; level-0 bilinear when off. No cost for untextured scenes.
     mipmaps: bool = True
@@ -230,6 +231,11 @@ def render_wavefront(
 
         scene_lo = jnp.min(scene.tri_pos.reshape(-1, 3), axis=0)
         scene_hi = jnp.max(scene.tri_pos.reshape(-1, 3), axis=0)
+        # global sort (octant|morton for bounce, o->light capsule for
+        # shadow). NOTE r4: a block-local cumsum partition was tried to
+        # avoid the ~107 ms argsort — TPU scatter mechanics made it 2.3-4x
+        # SLOWER than the sort and its screen-strip blocks admit far more
+        # clusters (tools/r4_frame_prof.py); global argsort wins.
         s_isect, s_occl = sorting_mod.sorted_intersectors(
             intersect_fn, occlude_fn, scene_lo, scene_hi
         )

@@ -59,7 +59,11 @@ EVERY_N = 4            # early-out check cadence (vector->scalar sync cost)
 
 def _make_compute(k: int, k_bits: int, low_bits: int, closest: bool,
                   precision: str, tmin, tmax, kid):
-    """Per-visit MT candidate test + packed-key / occlusion fold.
+    """Per-visit MT candidate test + packed-key / occlusion fold into a WIDE
+    (RT, K) accumulator (round 4): the per-visit cross-lane min/any reduce of
+    the old narrow accumulator was ~10 extra wide ops per visit; folding
+    elementwise and reducing ONCE after the loop measured ~8% faster at
+    bench shapes (tools/r4_kernel_lab.py v4_widecheck vs v0_prod).
 
     Shared by the DMA-pipelined and VMEM-resident kernels — the only thing
     that differs between them is where `feats` comes from.
@@ -118,8 +122,7 @@ def _make_compute(k: int, k_bits: int, low_bits: int, closest: bool,
             & (ts <= tmax * ad)
         )
         if not closest:
-            occ = jnp.any(hit, axis=1, keepdims=True)
-            return acc | occ.astype(jnp.int32)
+            return acc | hit.astype(jnp.int32)   # wide (RT,K) or-fold
         # ordering key: approximate t (one polished reciprocal);
         # exact winner values are re-derived host-side from the key
         ad_safe = jnp.where(ad > 1e-12, ad, 1.0)
@@ -129,7 +132,7 @@ def _make_compute(k: int, k_bits: int, low_bits: int, closest: bool,
         tb = pltpu.bitcast(jnp.maximum(tval, 0.0), jnp.int32)
         key = (tb & jnp.int32(low_mask)) | (i << k_bits) | kid
         key = jnp.where(hit, key, jnp.int32(KEY_MISS))
-        return jnp.minimum(acc, jnp.min(key, axis=1, keepdims=True))
+        return jnp.minimum(acc, key)             # wide (RT,K) min-fold
 
     return compute
 
@@ -178,12 +181,12 @@ def _make_kernel(k: int, mv: int, k_bits: int, low_bits: int, closest: bool,
             def _(j=j):
                 dma(j).start()
 
+        # wide (RT, K) accumulator: elementwise fold per visit, ONE cross-
+        # lane reduce after the loop (and inside the amortized checks)
         if closest:
-            # dead lanes start at key 0 so they never block early-out; the
-            # host-side decode masks them back to miss.
-            acc0 = jnp.where(dead, 0, KEY_MISS).astype(jnp.int32)
+            acc0 = jnp.full((RT, k), KEY_MISS, jnp.int32)
         else:
-            acc0 = dead.astype(jnp.int32)  # dead lanes count as occluded
+            acc0 = jnp.broadcast_to(dead.astype(jnp.int32), (RT, k))
 
         kid = jax.lax.broadcasted_iota(jnp.int32, (RT, k), 1)
         compute_fn = _make_compute(k, k_bits, low_bits, closest, precision,
@@ -208,11 +211,14 @@ def _make_kernel(k: int, mv: int, k_bits: int, low_bits: int, closest: bool,
             # a cross-unit sync — so amortize it over EVERY_N visits
             def check(_):
                 if closest:
-                    # ordered early-out: next visit's conservative entry t
+                    # ordered early-out: next visit's conservative entry t;
+                    # dead lanes masked to 0 so they never block it
                     nxt = trow[row, jnp.minimum(i + 1, mv - 1)]
-                    best_hi = jnp.max(new_acc) >> low_bits
+                    per_ray = jnp.min(new_acc, axis=1)
+                    best_hi = jnp.max(
+                        jnp.where(dead[:, 0], 0, per_ray)) >> low_bits
                     return done | (best_hi < (nxt >> low_bits))
-                return done | (jnp.min(new_acc) > 0)
+                return done | (jnp.min(jnp.max(new_acc, axis=1)) > 0)
 
             new_done = jax.lax.cond(
                 jax.lax.rem(i, EVERY_N) == EVERY_N - 1,
@@ -227,7 +233,12 @@ def _make_kernel(k: int, mv: int, k_bits: int, low_bits: int, closest: bool,
 
             return (new_done, new_acc)
 
-        _, fin = jax.lax.fori_loop(0, n, body, (n <= 0, acc0))
+        _, finw = jax.lax.fori_loop(0, n, body, (n <= 0, acc0))
+        if closest:
+            # dead lanes report key 0 (host masks to miss; 0 never wins)
+            fin = jnp.where(dead, 0, jnp.min(finw, axis=1, keepdims=True))
+        else:
+            fin = jnp.max(finw, axis=1, keepdims=True)
         # outputs are (T/8, 8, 128) int32 blocks — the natural tile, zero
         # padding waste; each program writes its row (one small transpose)
         out_ref[0, pl.ds(row, 1), :] = fin.astype(jnp.int32).T
@@ -266,9 +277,9 @@ def _make_kernel_resident(k: int, mv: int, k_bits: int, low_bits: int,
             cpt.wait()
 
         if closest:
-            acc0 = jnp.where(dead, 0, KEY_MISS).astype(jnp.int32)
+            acc0 = jnp.full((RT, k), KEY_MISS, jnp.int32)
         else:
-            acc0 = dead.astype(jnp.int32)
+            acc0 = jnp.broadcast_to(dead.astype(jnp.int32), (RT, k))
 
         kid = jax.lax.broadcasted_iota(jnp.int32, (RT, k), 1)
         compute_fn = _make_compute(k, k_bits, low_bits, closest, precision,
@@ -284,9 +295,11 @@ def _make_kernel_resident(k: int, mv: int, k_bits: int, low_bits: int,
             def check(_):
                 if closest:
                     nxt = trow[row, jnp.minimum(i + 1, mv - 1)]
-                    best_hi = jnp.max(new_acc) >> low_bits
+                    per_ray = jnp.min(new_acc, axis=1)
+                    best_hi = jnp.max(
+                        jnp.where(dead[:, 0], 0, per_ray)) >> low_bits
                     return done | (best_hi < (nxt >> low_bits))
-                return done | (jnp.min(new_acc) > 0)
+                return done | (jnp.min(jnp.max(new_acc, axis=1)) > 0)
 
             new_done = jax.lax.cond(
                 jax.lax.rem(i, EVERY_N) == EVERY_N - 1,
@@ -294,7 +307,11 @@ def _make_kernel_resident(k: int, mv: int, k_bits: int, low_bits: int,
             )
             return (new_done, new_acc)
 
-        _, fin = jax.lax.fori_loop(0, n, body, (n <= 0, acc0))
+        _, finw = jax.lax.fori_loop(0, n, body, (n <= 0, acc0))
+        if closest:
+            fin = jnp.where(dead, 0, jnp.min(finw, axis=1, keepdims=True))
+        else:
+            fin = jnp.max(finw, axis=1, keepdims=True)
         out_ref[0, pl.ds(row, 1), :] = fin.astype(jnp.int32).T
 
     return kernel

@@ -71,6 +71,8 @@ def _structure(has_volumes: bool) -> SceneData:
         textures=TextureAtlas(
             texels=jnp.zeros((1, 4)), offset=jnp.zeros(1, jnp.int32),
             width=jnp.zeros(1, jnp.int32), height=jnp.zeros(1, jnp.int32),
+            mip_offset=jnp.zeros((1, 14), jnp.int32),
+            n_mips=jnp.zeros(1, jnp.int32),
         ),
         inst_emission_mode=jnp.zeros(1, jnp.int32),
         inst_emission_override=z3,

@@ -142,3 +142,25 @@ def extract_lights(
             axis=-1,
         ),
     )
+
+
+def refit_lights(lights: TriangleLights, tri_pos: jnp.ndarray) -> TriangleLights:
+    """Device-side light-geometry refit for dynamic scenes (round 4): light
+    membership (which triangles are emissive) is static — topology doesn't
+    change with transforms — but positions/areas move with their instances
+    (≙ the reference's per-frame world-space TriangleLight rebuild,
+    `LightDataBuffer.cpp:37-130`). Pure jnp, jit-safe."""
+    cap = lights.capacity
+    valid = jnp.arange(cap) < lights.count
+    tri = tri_pos[jnp.maximum(lights.tri_idx, 0)]    # (L,3,3)
+    p0 = jnp.where(valid[:, None], tri[:, 0], 0.0)
+    e1 = jnp.where(valid[:, None], tri[:, 1] - tri[:, 0], 0.0)
+    e2 = jnp.where(valid[:, None], tri[:, 2] - tri[:, 0], 0.0)
+    n = jnp.cross(e1, e2)
+    ln = jnp.linalg.norm(n, axis=-1)
+    area = 0.5 * ln
+    normal = n / jnp.maximum(ln, 1e-12)[:, None]
+    packed = jnp.concatenate(
+        [p0, e1, e2, normal, area[:, None]], axis=1)
+    return lights.replace(
+        p0=p0, e1=e1, e2=e2, normal=normal, area=area, packed=packed)

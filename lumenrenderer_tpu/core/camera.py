@@ -136,7 +136,8 @@ def generate_primary_rays(
     (`GPUGeneratePrimRay.cu`): Halton(2,3) jitter indexed by frame for
     progressive accumulation, or uniform random jitter from `key`.
     """
-    n = width * height
+    # pixel_ids may be a SLICE of the frame (mesh sharding): n follows it
+    n = width * height if pixel_ids is None else pixel_ids.shape[0]
     ids = (
         jnp.arange(n, dtype=jnp.int32) if pixel_ids is None else pixel_ids
     )

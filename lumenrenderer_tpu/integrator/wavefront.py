@@ -130,6 +130,7 @@ def render_wavefront(
     cfg: RenderConfig,
     restir_state: Optional[Any] = None,
     restir_fn: Optional[Callable] = None,
+    pixel_ids: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Trace one 1-spp frame. Returns a dict of AOVs:
 
@@ -139,8 +140,13 @@ def render_wavefront(
 
     intersect_fn(o, d, tmin, tmax) -> {"t","tri","u","v"}
     occlude_fn(o, d, tmin, tmax) -> bool occlusion mask
+
+    pixel_ids: optional (N',) global pixel indices — trace a SLICE of the
+    frame (mesh sharding: each chip renders its own rows; cfg.width/height
+    stay the full-frame values for camera math). Outputs are in pixel_ids
+    order; mutually exclusive with cfg.swizzle.
     """
-    n = cfg.num_pixels
+    n = cfg.num_pixels if pixel_ids is None else pixel_ids.shape[0]
     f32 = jnp.float32
     sg = jax.lax.stop_gradient if cfg.detach_sampling else (lambda x: x)
 
@@ -162,7 +168,10 @@ def render_wavefront(
 
     # ---- primary rays (≙ GeneratePrimaryRays, Halton jitter) ----
     pid = inv_ids = None
-    if cfg.swizzle:
+    if pixel_ids is not None:
+        assert not cfg.swizzle, "pixel_ids and swizzle are exclusive"
+        pid = pixel_ids
+    elif cfg.swizzle:
         assert not cfg.use_restir, "swizzle+ReSTIR not supported yet"
         perm, inv = camera_mod.block_swizzle_map(cfg.width, cfg.height)
         pid = jnp.asarray(perm)

@@ -49,16 +49,36 @@ class Renderer:
         restir_fn: Optional[Callable] = None,
         donate: bool = True,
         dynamic=None,
+        mesh=None,
     ):
         """dynamic: optional `scene.dynamic.DynamicScene` — threads the scene
         AND cluster set through the jitted step as arguments so instance-
         transform edits rebake on device with no retrace (round 4 VERDICT #7,
-        ≙ PTScene.cpp:77-160 dirty-IAS rebuild)."""
+        ≙ PTScene.cpp:77-160 dirty-IAS rebuild).
+
+        mesh: optional `jax.sharding.Mesh` — run the PROGRESSIVE renderer
+        under a device mesh (round 4 VERDICT #8): the frame state (accum,
+        ReSTIR reservoirs, AOVs) shards over the pixel axis, scene/BVH
+        replicate, and GSPMD propagates the shardings through the jitted
+        step (collectives ride ICI). Same step code, any mesh size."""
         self.scene = scene
         self.config = config
         self.accel_kind = accel
         self.frame_stats: Dict[str, float] = {}
         self._dynamic = dynamic
+        self._mesh = mesh
+        if mesh is not None:
+            from ..parallel import shard as shard_mod
+
+            assert dynamic is None, "dynamic+mesh not supported yet"
+            assert config.height % mesh.size == 0, (
+                f"height {config.height} must divide the mesh ({mesh.size})")
+            # scene/BVH replicated on every device; per-pixel state shards
+            # over rows; the step runs under shard_map so each chip traces
+            # its own rows chip-locally (sorting, culling, kernels all
+            # local — zero cross-chip traffic inside the frame, SURVEY §5.7)
+            self.scene = shard_mod.replicate(scene, mesh)
+            scene = self.scene
         if dynamic is not None:
             assert accel == "tiled", "dynamic scenes require accel='tiled'"
             assert not config.use_restir, "dynamic+ReSTIR not supported yet"
@@ -134,7 +154,10 @@ class Renderer:
                 ),
                 restir_config or RestirConfig(),
                 config.width,
-                config.height,
+                # under a mesh each shard owns height/mesh.size rows; the
+                # reservoir grid is that local slice (spatial reuse clamps
+                # at shard edges — documented edge effect)
+                config.height // (mesh.size if mesh is not None else 1),
             )
         self._restir_fn = restir_fn
 
@@ -171,9 +194,88 @@ class Renderer:
             }
             return new_st, aux
 
-        if dynamic is None:
+        if mesh is not None:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.shard import TILE_AXIS
+
+            nsh = mesh.size
+            n_local = cfg.num_pixels // nsh
+
+            def step_local(st, camera, scene_):
+                shard_i = jax.lax.axis_index(TILE_AXIS)
+                pix = shard_i * n_local + jnp.arange(n_local, dtype=jnp.int32)
+                key, sub = jax.random.split(st.key)
+                # decorrelate shards (key itself stays replicated)
+                sub = jax.random.fold_in(sub, shard_i)
+                out = wavefront.render_wavefront(
+                    scene_, isect, occl, camera, sub, st.frame_index, cfg,
+                    restir_state=st.restir, restir_fn=restir_fn,
+                    pixel_ids=pix,
+                )
+                frame = wavefront.merge_channels(out)
+                accum = tonemap.blend_accumulate(
+                    st.accum, frame, st.blend_count)
+                new_st = st.replace(
+                    accum=accum, blend_count=st.blend_count + 1,
+                    frame_index=st.frame_index + 1, key=key,
+                    restir=out.pop("restir_state"),
+                )
+                aux = {
+                    k: out[k]
+                    for k in ("depth", "normal", "albedo", "motion")
+                    if k in out
+                }
+                # scalars must leave the shard replicated: reduce
+                if "overflow" in out:
+                    aux["overflow"] = jax.lax.pmax(
+                        out["overflow"].astype(jnp.int32), TILE_AXIS) > 0
+                if "debug_first_bad" in out:
+                    aux["debug_first_bad"] = jax.lax.pmax(
+                        out["debug_first_bad"], TILE_AXIS)
+                return new_st, aux
+
+            def _pix_spec(template):
+                def pick(x):
+                    x = jnp.asarray(x)
+                    if x.ndim >= 1 and x.shape[0] == cfg.num_pixels:
+                        return P(TILE_AXIS)
+                    return P()
+                return jax.tree_util.tree_map(pick, template)
+
+            state_spec = _pix_spec(state_mod.init_state(
+                cfg.num_pixels, 0,
+                restir=(self._restir_fn.init_state(cfg.num_pixels)
+                        if self._restir_fn is not None
+                        and hasattr(self._restir_fn, "init_state") else None),
+            ))
+            # per-pixel aux leaves shard, scalars replicate (pmax'd above)
+            aux_spec = {
+                k: P(TILE_AXIS) for k in ("depth", "normal", "albedo",
+                                          "motion")
+            }
+            aux_spec["overflow"] = P()
+            if cfg.debug_checks:
+                aux_spec["debug_first_bad"] = P()
+
+            def step(st, camera, scene_):
+                cam_sp = jax.tree_util.tree_map(lambda _: P(), camera)
+                scn_sp = jax.tree_util.tree_map(lambda _: P(), scene_)
+                return shard_map(
+                    step_local, mesh=mesh,
+                    in_specs=(state_spec, cam_sp, scn_sp),
+                    out_specs=(state_spec, aux_spec),
+                    check_rep=False,
+                )(st, camera, scene_)
+
+            self._step = jax.jit(step, donate_argnums=(0,) if donate else ())
+        elif dynamic is None:
             def step(st, camera, scene_):
                 return run(st, camera, scene_, isect, occl)
+
+            self._step = jax.jit(
+                step, donate_argnums=(0,) if donate else ())
         else:
             from ..accel import tiled as tiled_mod
 
@@ -184,7 +286,8 @@ class Renderer:
                     clusters_, **self._tiled_opts)
                 return run(st, camera, scene_, isect_, occl_)
 
-        self._step = jax.jit(step, donate_argnums=(0,) if donate else ())
+            self._step = jax.jit(
+                step, donate_argnums=(0,) if donate else ())
 
     # -- public API ---------------------------------------------------------
 
@@ -192,7 +295,12 @@ class Renderer:
         restir0 = None
         if self._restir_fn is not None and hasattr(self._restir_fn, "init_state"):
             restir0 = self._restir_fn.init_state(self.config.num_pixels)
-        return state_mod.init_state(self.config.num_pixels, seed, restir=restir0)
+        st = state_mod.init_state(self.config.num_pixels, seed, restir=restir0)
+        if self._mesh is not None:
+            from ..parallel import shard as shard_mod
+
+            st = shard_mod.shard_pixels(st, self._mesh)
+        return st
 
     def render_frame(self, st, camera):
         """One progressive frame. Returns (new_state, aux AOV dict)."""

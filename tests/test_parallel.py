@@ -117,3 +117,88 @@ def test_graft_entry():
     out = jax.jit(fn)(*args)
     assert out.shape == (4096, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_progressive_renderer_under_mesh_matches_single():
+    """Round 4 (VERDICT #8): the PROGRESSIVE Renderer — accumulation state,
+    AOVs, frame loop — runs under a device mesh with pixel-sharded state and
+    matches the single-device run bit-for-bit-ish."""
+    import jax
+    import numpy as np
+
+    from lumenrenderer_tpu.integrator.wavefront import RenderConfig
+    from lumenrenderer_tpu.parallel import shard
+    from lumenrenderer_tpu.render.renderer import Renderer
+    from lumenrenderer_tpu.scene import presets
+
+    scene, camf = presets.cornell_box(with_blocks=True)
+    sc, cam = scene.build(), camf(1.0)
+    cfg = RenderConfig(width=16, height=16, max_depth=3, bsdf="lambert",
+                       light_strategy="mis", rr_start_depth=99,
+                       sort_secondary=False)
+
+    spp = 48  # per-shard RNG streams are folded by shard index (by design:
+    # chip-local frames), so the comparison is statistical at matched spp
+
+    r_single = Renderer(sc, cfg, accel="tiled", use_pallas=False,
+                        donate=False)
+    st = r_single.init_state(0)
+    for _ in range(spp):
+        st, aux = r_single.render_frame(st, cam)
+    ref = np.asarray(st.accum)
+
+    mesh = shard.make_mesh(jax.devices()[:8])
+    r_mesh = Renderer(sc, cfg, accel="tiled", use_pallas=False,
+                      donate=False, mesh=mesh)
+    stm = r_mesh.init_state(0)
+    for _ in range(spp):
+        stm, auxm = r_mesh.render_frame(stm, cam)
+    got = np.asarray(stm.accum)
+    assert np.isfinite(got).all()
+    # same image to Monte-Carlo tolerance: global mean within 3%, per-pixel
+    # mean abs deviation under 15% of the mean level
+    assert abs(got.mean() - ref.mean()) / ref.mean() < 0.03, (
+        got.mean(), ref.mean())
+    assert np.abs(got - ref).mean() < 0.15 * ref.mean()
+    # state actually sharded over the pixel axis
+    s = stm.accum.sharding
+    assert getattr(s, "mesh", None) is not None and s.mesh.size == 8, s
+
+
+def test_progressive_renderer_under_mesh_restir():
+    """ReSTIR reservoir state survives sharding: mesh run stays finite and
+    produces a lit image (spatial reuse crosses shard boundaries via GSPMD
+    collectives)."""
+    import jax
+    import numpy as np
+
+    from lumenrenderer_tpu.integrator.wavefront import RenderConfig
+    from lumenrenderer_tpu.parallel import shard
+    from lumenrenderer_tpu.render.renderer import Renderer
+    from lumenrenderer_tpu.restir.di import RestirConfig
+    from lumenrenderer_tpu.scene import presets
+
+    scene, camf = presets.cornell_box(with_blocks=True)
+    sc, cam = scene.build(), camf(1.0)
+    cfg = RenderConfig(width=16, height=16, max_depth=2, bsdf="lambert",
+                       light_strategy="nee", rr_start_depth=99,
+                       use_restir=True, sort_secondary=False)
+    rcfg = RestirConfig(num_bags=4, bag_size=16, candidates=4,
+                        spatial_samples=2, spatial_iterations=1)
+    mesh = shard.make_mesh(jax.devices()[:8])
+    r = Renderer(sc, cfg, accel="tiled", use_pallas=False, donate=False,
+                 restir_config=rcfg, mesh=mesh)
+    st = r.init_state(0)
+    for _ in range(2):
+        st, _ = r.render_frame(st, cam)
+    img = np.asarray(st.accum)
+    assert np.isfinite(img).all()
+    assert img.mean() > 1e-3
+
+
+def test_distributed_initialize_noop_single_process():
+    from lumenrenderer_tpu.parallel import distributed
+
+    assert distributed.initialize() is False  # single process: no-op
+    info = distributed.process_info()
+    assert info["process_count"] == 1

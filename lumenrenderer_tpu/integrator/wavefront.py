@@ -83,6 +83,10 @@ class RenderConfig:
     # wave; depth 1 = primary-only fog, cheaper)
     volume_steps: int = 5
     volume_depths: int = 2
+    # shadow-segment transmittance estimator: "riemann" (reference's fixed
+    # 5-step jittered march) | "ratio" (unbiased ratio tracking, BASELINE
+    # config 4 — correct for strongly heterogeneous grids)
+    volume_transmittance: str = "riemann"
     # Ray-order block swizzling: 16x8 pixel blocks per 128-ray intersector
     # tile (compact frusta for hierarchical culling on big scenes). Not
     # compatible with ReSTIR's pixel-grid neighbour logic yet.
@@ -438,6 +442,7 @@ def render_wavefront(
                     scene.volumes, so, ls.wi, jnp.asarray(RAY_EPS, f32),
                     jnp.where(contrib_valid, ls.dist - 2.0 * RAY_EPS, 0.0),
                     key=jax.random.fold_in(nkey, 9),
+                    estimator=cfg.volume_transmittance,
                 )
                 scale = scale * sg(v_tr)
             shadowed = throughput * f_val * ls.radiance * scale[:, None]

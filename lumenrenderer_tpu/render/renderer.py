@@ -50,6 +50,7 @@ class Renderer:
         donate: bool = True,
         dynamic=None,
         mesh=None,
+        stats_every: int = 0,
     ):
         """dynamic: optional `scene.dynamic.DynamicScene` — threads the scene
         AND cluster set through the jitted step as arguments so instance-
@@ -60,13 +61,22 @@ class Renderer:
         under a device mesh (round 4 VERDICT #8): the frame state (accum,
         ReSTIR reservoirs, AOVs) shards over the pixel axis, scene/BVH
         replicate, and GSPMD propagates the shardings through the jitted
-        step (collectives ride ICI). Same step code, any mesh size."""
+        step (collectives ride ICI). Same step code, any mesh size.
+
+        stats_every: N > 0 keeps per-stage times in `frame_stats` EVERY
+        frame (≙ the reference's always-on FrameStats map filled across
+        TraceFrame, `WaveFrontRenderer.cpp:453-1081`): the production frame
+        stays ONE fused XLA program (in-frame timers can't exist), so the
+        per-stage map is refreshed by a sampling probe (`profile_stages`
+        with reps=1) every N frames and merged into every frame's stats."""
         self.scene = scene
         self.config = config
         self.accel_kind = accel
         self.frame_stats: Dict[str, float] = {}
         self._dynamic = dynamic
         self._mesh = mesh
+        self._stats_every = int(stats_every)
+        self._stage_stats: Dict[str, float] = {}
         if mesh is not None:
             from ..parallel import shard as shard_mod
 
@@ -330,6 +340,15 @@ class Renderer:
             "Total Frame Time": (time.perf_counter() - t0) * 1e3,
             "Frame": self._frames_done,
         }
+        # per-frame per-stage visibility (≙ the reference's FrameStats map):
+        # refresh the sampled per-stage probe every N frames, merge always
+        if self._stats_every > 0:
+            if (self._frames_done - 1) % self._stats_every == 0:
+                self._stage_stats = self.profile_stages(camera, reps=1)
+            self.frame_stats.update(self._stage_stats)
+            from ..utils import log as log_mod
+
+            log_mod.frame_record(self.frame_stats)
         return new_st, aux
 
     def render(self, camera: Camera, spp: int = 16, seed: int = 0):
@@ -447,12 +466,17 @@ class Renderer:
         j_nee = jax.jit(lambda u, p: nee_mod.sample_light(ltab, u, p))
         timeit("ShadeDirect sample_light", j_nee, u3, sd.position)
 
+        def _run(st_):
+            if self._dynamic is not None:
+                return self._step(st_, camera, sc, self.clusters)[0]
+            return self._step(st_, camera, sc)[0]
+
         st = self.init_state(seed)
-        st, _ = self._step(st, camera, sc)       # compile + warm
+        st = _run(st)                            # compile + warm
         jax.block_until_ready(st.accum)
         t0 = _time.perf_counter()
         for _ in range(reps):
-            st, _ = self._step(st, camera, sc)
+            st = _run(st)
         jax.block_until_ready(st.accum)
         stats["Total Frame Time"] = (_time.perf_counter() - t0) / reps * 1e3
         self.frame_stats.update(stats)

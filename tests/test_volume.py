@@ -141,3 +141,140 @@ def test_volume_absent_is_noop():
     st = r.init_state(0)
     st, _ = r.render_frame(st, cam)
     assert np.isfinite(np.asarray(st.accum)).all()
+
+
+# ---------------------------------------------------------------------------
+# round 4: ratio-tracking transmittance (BASELINE config 4)
+# ---------------------------------------------------------------------------
+
+def _hetero_volume():
+    import numpy as np
+
+    from lumenrenderer_tpu.volume.grid import make_volume_set
+
+    # strongly heterogeneous: a dense blob in one corner, near-empty rest
+    n = 16
+    g = np.zeros((n, n, n), np.float32)
+    g[:4, :4, :4] = 8.0
+    g[8:, 8:, 8:] = 0.25
+    return make_volume_set([g], [(0.0, 0.0, 0.0)], [(2.0, 2.0, 2.0)],
+                           sigma_t=[1.0], albedo=[0.5])
+
+
+def test_ratio_tracking_unbiased_vs_dense_integral():
+    """Mean of the ratio-tracking estimator must match a fine numeric
+    integral; the 5-step Riemann march must be measurably biased on the same
+    heterogeneous grid."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lumenrenderer_tpu.volume import march
+    from lumenrenderer_tpu.volume.grid import sample_density
+
+    vols = _hetero_volume()
+    r = 64
+    rng = np.random.default_rng(0)
+    o = jnp.asarray(rng.uniform(-0.5, 0.0, (r, 3)), jnp.float32)
+    d = jnp.asarray([1.0, 0.8, 0.6]) / np.linalg.norm([1.0, 0.8, 0.6])
+    d = jnp.broadcast_to(d, (r, 3)).astype(jnp.float32)
+    tn = jnp.zeros((r,))
+    tx = jnp.full((r,), 10.0)
+
+    # ground truth: 4096-step Riemann (converged)
+    truth = march.transmittance_only(vols, o, d, tn, tx, steps=4096)
+
+    # ratio tracking: average over keys
+    reps = 200
+    acc = jnp.zeros((r,))
+    f = jax.jit(lambda k: march.transmittance_only(
+        vols, o, d, tn, tx, key=k, estimator="ratio"))
+    for i in range(reps):
+        acc = acc + f(jax.random.PRNGKey(i))
+    ratio_mean = acc / reps
+
+    err_ratio = float(jnp.max(jnp.abs(ratio_mean - truth)))
+    assert err_ratio < 0.06, err_ratio  # max over 64 rays of ~1/sqrt(200) MC noise
+
+    # the reference's 5-step march on the same rays: visibly biased
+    acc5 = jnp.zeros((r,))
+    f5 = jax.jit(lambda k: march.transmittance_only(
+        vols, o, d, tn, tx, steps=5, key=k))
+    for i in range(reps):
+        acc5 = acc5 + f5(jax.random.PRNGKey(i))
+    err_riemann = float(jnp.max(jnp.abs(acc5 / reps - truth)))
+    assert err_riemann > 2.0 * err_ratio, (err_riemann, err_ratio)
+
+
+def test_ratio_tracking_matches_riemann_on_smooth_grid():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lumenrenderer_tpu.volume import march
+    from lumenrenderer_tpu.volume.grid import make_volume_set
+
+    g = np.full((8, 8, 8), 0.7, np.float32)  # homogeneous
+    vols = make_volume_set([g], [(0., 0., 0.)], [(1., 1., 1.)],
+                           sigma_t=[1.2], albedo=[0.5])
+    r = 32
+    o = jnp.broadcast_to(jnp.asarray([-0.5, 0.5, 0.5]), (r, 3))
+    d = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (r, 3))
+    tn = jnp.zeros((r,))
+    tx = jnp.full((r,), 5.0)
+    truth = float(jnp.exp(jnp.asarray(-0.7 * 1.2 * 1.0)))
+    acc = jnp.zeros((r,))
+    reps = 300
+    f = jax.jit(lambda k: march.transmittance_only(
+        vols, o, d, tn, tx, key=k, estimator="ratio"))
+    for i in range(reps):
+        acc = acc + f(jax.random.PRNGKey(1000 + i))
+    got = float(jnp.mean(acc / reps))
+    assert abs(got - truth) < 0.02, (got, truth)
+
+
+def test_ratio_estimator_selectable_through_config():
+    """The frame runs end-to-end with volume_transmittance='ratio'."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lumenrenderer_tpu.integrator.wavefront import (
+        RenderConfig, merge_channels, render_wavefront)
+    from lumenrenderer_tpu.accel import sah, traverse
+    from lumenrenderer_tpu.scene import presets
+    from lumenrenderer_tpu.scene.scene import SceneBuilder
+    from lumenrenderer_tpu.scene.materials import MaterialSpec
+
+    b = SceneBuilder(env_radiance=(0.1, 0.1, 0.1))
+    white = b.add_material(MaterialSpec(base_color=(0.7, 0.7, 0.7)))
+    lightm = b.add_material(MaterialSpec(base_color=(0, 0, 0),
+                                         emissive=(20., 20., 20.)))
+    b.add_instance(presets.InstanceHost(mesh=presets.make_quad_mesh(
+        [(-3, 0, -3), (3, 0, -3), (3, 0, 3), (-3, 0, 3)], white)))
+    b.add_instance(presets.InstanceHost(mesh=presets.make_quad_mesh(
+        [(-1, 4, -1), (-1, 4, 1), (1, 4, 1), (1, 4, -1)], lightm)))
+    import numpy as _np
+    g = _np.zeros((8, 8, 8), _np.float32)
+    g[:, :4] = 2.0
+    b.add_volume(g, (-1, 0.5, -1), (1, 2.5, 1), sigma_t=1.0, albedo=0.6)
+    sc = b.build()
+    from lumenrenderer_tpu.core.camera import Camera
+    cam = Camera.look_at(eye=(0, 2, 6), target=(0, 1, 0), fov_y_deg=45.0)
+    bvh = sah.build_sah(sc.tri_pos, leaf_size=8)
+    isect, occl = traverse.bvh_intersectors(bvh)
+    imgs = {}
+    for est in ("riemann", "ratio"):
+        cfg = RenderConfig(width=16, height=16, max_depth=2, bsdf="lambert",
+                           light_strategy="nee", rr_start_depth=99,
+                           volume_transmittance=est, sort_secondary=False)
+        acc = 0
+        for i in range(24):
+            out = render_wavefront(sc, isect, occl, cam,
+                                   jax.random.PRNGKey(i), jnp.uint32(i), cfg)
+            acc = acc + np.asarray(merge_channels(out))
+        imgs[est] = acc / 24
+        assert np.isfinite(imgs[est]).all()
+    # both estimate the same transmittance field: images agree to MC noise
+    diff = np.abs(imgs["ratio"] - imgs["riemann"]).mean()
+    assert diff < 0.12 * max(imgs["riemann"].mean(), 1e-6), diff

@@ -245,9 +245,13 @@ def _query(cs: ClusterSet, origins, dirs, t_min, t_max,
         use_pallas = False
 
     if culling == "auto":
-        # frustum (O(T*C), tile-granular) is the Pallas default; the XLA
-        # scan keeps its measured-best choices
-        culling = "frustum" if use_pallas else ("dense" if c <= 512 else "tree")
+        # frustum (O(T*C), tile-granular) is the Pallas default while the
+        # dense (T,C) intermediates stay small; big scenes (1M tris ->
+        # C~8k: ~1 GB per (T,C) array at 1440p) take the packet-tree walk
+        culling = (
+            ("frustum" if c <= 2048 else "tree") if use_pallas
+            else ("dense" if c <= 512 else "tree")
+        )
     if culling == "dense":
         # O(R*C) dense slab test, exact per-ray union — best for small C
         hit_rc, tnear_rc = _ray_cluster_window(cs, o, d, tn, tx)

@@ -66,7 +66,24 @@ def main(argv=None) -> int:
     p.add_argument("-o", "--output", default=None)
     p.add_argument("--aovs", action="store_true", help="also dump AOV PNGs")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--debug-checks", action="store_true",
+                   help="NaN/Inf guard: abort naming the first bad stage")
+    p.add_argument("--no-mipmaps", action="store_true")
+    p.add_argument("--transmittance", choices=("riemann", "ratio"),
+                   default=None, help="volume shadow transmittance estimator")
+    p.add_argument("--stats-every", type=int, default=0,
+                   help="refresh per-stage FrameStats every N frames")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard the frame over all visible devices")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: call jax.distributed.initialize first")
     args = p.parse_args(argv)
+
+    if args.distributed:
+        from ..parallel import distributed
+
+        distributed.initialize()
+        print(f"distributed: {distributed.process_info()}", file=sys.stderr)
 
     if args.cpu:
         import jax
@@ -109,8 +126,19 @@ def main(argv=None) -> int:
     rc = RenderConfig(
         width=w, height=h, max_depth=cfg.max_depth, bsdf=cfg.bsdf,
         light_strategy=cfg.light_strategy, use_restir=cfg.use_restir,
+        debug_checks=args.debug_checks, mipmaps=not args.no_mipmaps,
+        volume_transmittance=args.transmittance or "riemann",
     )
-    renderer = Renderer(scene, rc, accel=cfg.accel)
+    mesh = None
+    if args.mesh:
+        import jax
+
+        from ..parallel import shard
+
+        mesh = shard.make_mesh(jax.devices())
+        print(f"mesh: {mesh}", file=sys.stderr)
+    renderer = Renderer(scene, rc, accel=cfg.accel, mesh=mesh,
+                        stats_every=args.stats_every)
     print(
         f"scene: {scene.num_triangles} tris, {int(scene.lights.count)} lights; "
         f"{w}x{h} depth={cfg.max_depth} spp={cfg.spp} "

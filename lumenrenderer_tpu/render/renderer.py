@@ -445,15 +445,17 @@ class Renderer:
         j_occl = jax.jit(lambda o, d, tx: self._occl(o, d, tmin, tx))
         hits = timeit("Intersect (primary, coherent)", j_isect,
                       ray_o, ray_d, tmax)
-        ku = jax.random.uniform(jax.random.fold_in(key, 1), (n, 3)) * 2 - 1
-        bd = ku / jnp.linalg.norm(ku, axis=-1, keepdims=True)
-        bo = ray_o + jnp.where(
-            jnp.isfinite(hits["t"]), hits["t"], 1.0)[:, None] * ray_d
-        timeit("Intersect (bounce, incoherent)", j_isect, bo, bd, tmax)
-        timeit("Occlusion (shadow)", j_occl, bo, bd, tmax)
         j_ext = jax.jit(lambda o, d, hh: extract_surface_data(
             sc, o, d, hh["t"], hh["tri"], hh["u"], hh["v"]))
         sd = timeit("ExtractSurfaceData", j_ext, ray_o, ray_d, hits)
+        ku = jax.random.uniform(jax.random.fold_in(key, 1), (n, 3)) * 2 - 1
+        bd = ku / jnp.linalg.norm(ku, axis=-1, keepdims=True)
+        # bounce origins from extract's EXACT sd.t (the tiled fast path's
+        # hits["t"] is the quantized packed-key distance — ADVICE r3)
+        bo = ray_o + jnp.where(
+            jnp.isfinite(sd.t), sd.t, 1.0)[:, None] * ray_d
+        timeit("Intersect (bounce, incoherent)", j_isect, bo, bd, tmax)
+        timeit("Occlusion (shadow)", j_occl, bo, bd, tmax)
         wo = -ray_d
         u4 = jax.random.uniform(jax.random.fold_in(key, 2), (n, 4))
         j_eval = jax.jit(lambda s, a, b: wf._bsdf_eval(

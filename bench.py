@@ -104,9 +104,14 @@ def bench_grad(r, sc, cam, cfg, frames: int) -> int:
     import jax
     import jax.numpy as jnp
 
+    import dataclasses
+
     from lumenrenderer_tpu.integrator import wavefront
 
     key = jax.random.PRNGKey(0)
+    # remat: recompute depths >= 1 in backward — 1440p residuals otherwise
+    # exceed HBM (measured r4: ~dozens of 56 MB (N,3) temps per depth)
+    cfg = dataclasses.replace(cfg, remat=True)
 
     def fwd(em):
         sc2 = sc.replace(materials=sc.materials.replace(emissive=em))

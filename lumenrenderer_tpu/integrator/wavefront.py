@@ -98,6 +98,11 @@ class RenderConfig:
     # Mipmapped texture sampling (≙ PTTexture.cpp:64-65): ray-footprint
     # trilinear LOD; level-0 bilinear when off. No cost for untextured scenes.
     mipmaps: bool = True
+    # Rematerialize depths >= 1 in reverse mode (jax.checkpoint): trades
+    # ~1 extra forward of compute for O(depth) less residual memory — the
+    # only way 1440p backward fits one chip. Off by default (forward-only
+    # rendering never pays it; flip on for training/grad benches).
+    remat: bool = False
     # Production NaN/Inf guard (≙ CudaUtilities.h CHECK macros + the device
     # pdf/NaN asserts, ReSTIRKernels.cu:879-899): every stage output is
     # finite-checked; the frame reports the FIRST offending stage in
@@ -206,18 +211,17 @@ def render_wavefront(
     # ---- production NaN/Inf guard (cfg.debug_checks) ----
     first_bad = jnp.zeros((), jnp.int32)
     if cfg.debug_checks:
-        def chk(stage: str, depth_i: int, *arrs):
-            nonlocal first_bad
+        def chk(fb, stage: str, depth_i: int, *arrs):
             idx = depth_i * len(DEBUG_STAGES) + DEBUG_STAGES.index(stage) + 1
             bad = jnp.zeros((), bool)
             for a in arrs:
                 if a is None or not jnp.issubdtype(a.dtype, jnp.floating):
                     continue
                 bad = bad | ~jnp.all(jnp.isfinite(a))
-            first_bad = jnp.where((first_bad == 0) & bad, idx, first_bad)
+            return jnp.where((fb == 0) & bad, idx, fb)
     else:
-        def chk(stage: str, depth_i: int, *arrs):
-            pass
+        def chk(fb, stage: str, depth_i: int, *arrs):
+            return fb
     aovs: Dict[str, jnp.ndarray] = {}
     new_restir_state = restir_state
 
@@ -256,7 +260,16 @@ def render_wavefront(
     else:
         s_isect = intersect_fn
 
-    for depth in range(cfg.max_depth):
+    # The depth-loop body as a PURE carry function so cfg.remat can wrap
+    # depths >= 1 in jax.checkpoint: backward at 1440p otherwise OOMs on the
+    # per-depth (N,3) residual chains (round 4; grads recompute each depth's
+    # forward instead of storing ~dozens of 56 MB temps).
+    def trace_depth(depth, carry):
+        (ray_o, ray_d, throughput, alive, prev_pdf, prev_specular,
+         first_specular, beer_sigma, direct, indirect, specular_ch,
+         volumetric_ch, overflow_any, first_bad, path_dist, aovs,
+         new_restir_state) = carry
+        aovs = dict(aovs)
         dkey = jax.random.fold_in(key, depth)
 
         # ---- intersect (≙ optixLaunch INTERSECTION) ----
@@ -270,8 +283,8 @@ def render_wavefront(
             # surface culling overflow instead of dropping it (visit-list
             # truncation can silently lose hits; see accel/tiled.py)
             overflow_any = overflow_any | hits["overflow"]
-        chk("intersect", depth,
-            jnp.where(jnp.isinf(hits["t"]), 0.0, hits["t"]))
+        first_bad = chk(first_bad, "intersect", depth,
+                        jnp.where(jnp.isinf(hits["t"]), 0.0, hits["t"]))
         sd = extract_surface_data(
             scene, ray_o, ray_d, hits["t"], hits["tri"], hits["u"], hits["v"],
             mip_spread=mip_spread, mip_dist0=path_dist,
@@ -295,7 +308,8 @@ def render_wavefront(
             )
         hit_mask = sd.valid & alive
         wo = -ray_d
-        chk("extract_surface_data", depth,
+        first_bad = chk(
+            first_bad, "extract_surface_data", depth,
             jnp.where(hit_mask[:, None], sd.position, 0.0),
             jnp.where(hit_mask[:, None], sd.normal, 0.0),
             jnp.where(hit_mask[:, None], sd.base_color, 0.0),
@@ -327,7 +341,8 @@ def render_wavefront(
             throughput = throughput * jnp.where(
                 alive[:, None], v_trans[:, None], 1.0
             )
-            chk("volumetric", depth, volumetric_ch, throughput)
+            first_bad = chk(first_bad, "volumetric", depth,
+                            volumetric_ch, throughput)
 
         # ---- miss: environment contribution ----
         env_contrib = jnp.where(
@@ -376,7 +391,8 @@ def render_wavefront(
             indirect = indirect + jnp.where(first_specular[:, None], 0.0, em_w)
         # "nee": bounce emissive dropped, matching the reference.
 
-        chk("emissive/light channels", depth, direct, indirect, specular_ch)
+        first_bad = chk(first_bad, "emissive/light channels", depth,
+                        direct, indirect, specular_ch)
 
         # ---- stochastic alpha transparency ----
         if cfg.alpha_test:
@@ -446,7 +462,7 @@ def render_wavefront(
                 )
                 scale = scale * sg(v_tr)
             shadowed = throughput * f_val * ls.radiance * scale[:, None]
-            chk("nee/shade_direct", depth, shadowed)
+            first_bad = chk(first_bad, "nee/shade_direct", depth, shadowed)
             if depth == 0:
                 direct = direct + shadowed
             else:
@@ -528,7 +544,8 @@ def render_wavefront(
                 )
                 beer_sigma = jnp.where(exit_[:, None], 0.0, beer_sigma)
             alive = next_alive & (jnp.max(throughput, axis=-1) > 0.0)
-            chk("bsdf_sample/throughput", depth,
+            first_bad = chk(
+                first_bad, "bsdf_sample/throughput", depth,
                 jnp.where(alive[:, None], throughput, 0.0),
                 jnp.where(alive[:, None], ray_d, 0.0))
         elif cfg.alpha_test:
@@ -539,6 +556,29 @@ def render_wavefront(
                 passthrough[:, None], throughput * scene.env_radiance[None, :], 0.0
             )
             indirect = indirect + env_tail
+
+        return (ray_o, ray_d, throughput, alive, prev_pdf, prev_specular,
+                first_specular, beer_sigma, direct, indirect, specular_ch,
+                volumetric_ch, overflow_any, first_bad, path_dist, aovs,
+                new_restir_state)
+
+    carry = (ray_o, ray_d, throughput, alive, prev_pdf, prev_specular,
+             first_specular, beer_sigma, direct, indirect, specular_ch,
+             volumetric_ch, overflow_any, first_bad, path_dist, aovs,
+             new_restir_state)
+    import functools as _ft
+
+    for depth in range(cfg.max_depth):
+        fn = _ft.partial(trace_depth, depth)
+        if cfg.remat and depth > 0:
+            # depth 0 stays live (it produces the AOVs / ReSTIR state and
+            # its residuals amortize); deeper bounces recompute in backward
+            fn = jax.checkpoint(fn)
+        carry = fn(carry)
+    (ray_o, ray_d, throughput, alive, prev_pdf, prev_specular,
+     first_specular, beer_sigma, direct, indirect, specular_ch,
+     volumetric_ch, overflow_any, first_bad, path_dist, aovs,
+     new_restir_state) = carry
 
     out = {
         "direct": direct,

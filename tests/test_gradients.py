@@ -175,3 +175,38 @@ def test_gradient_through_production_tiled_pallas():
     fd = float(_fd(f, s0, jnp.float32(0.25)))  # image linear in emission
     assert np.isfinite(ad) and ad > 0
     np.testing.assert_allclose(ad, fd, rtol=2e-3)
+
+
+def test_remat_gradients_match():
+    """cfg.remat (per-depth jax.checkpoint) must not change values OR
+    gradients — it only trades recompute for residual memory (round 4:
+    1440p backward OOMs without it)."""
+    sc, _ = _setup()
+    scene, camf = presets.cornell_box(with_blocks=True)
+    sc, cam = scene.build(), camf(1.0)
+    bvh = lbvh.build_lbvh(sc.tri_pos, leaf_size=4)
+    isect, occl = traverse.bvh_intersectors(bvh)
+    key = jax.random.PRNGKey(5)
+
+    def make_loss(remat):
+        cfg = RenderConfig(width=16, height=16, max_depth=4, bsdf="disney",
+                           light_strategy="mis", rr_start_depth=99,
+                           jitter="center", remat=remat)
+
+        def loss(s):
+            sc2 = sc.replace(materials=sc.materials.replace(
+                emissive=sc.materials.emissive * s))
+            out = render_wavefront(sc2, isect, occl, cam, key,
+                                   jnp.uint32(0), cfg)
+            return merge_channels(out).mean()
+
+        return loss
+
+    s0 = jnp.float32(1.0)
+    v0 = float(jax.jit(make_loss(False))(s0))
+    v1 = float(jax.jit(make_loss(True))(s0))
+    g0 = float(jax.jit(jax.grad(make_loss(False)))(s0))
+    g1 = float(jax.jit(jax.grad(make_loss(True)))(s0))
+    np.testing.assert_allclose(v1, v0, rtol=1e-6)
+    np.testing.assert_allclose(g1, g0, rtol=1e-5)
+    assert g0 > 0

@@ -58,13 +58,18 @@ def main():
 
     lo = jnp.min(sc.tri_pos.reshape(-1, 3), axis=0)
     hi = jnp.max(sc.tri_pos.reshape(-1, 3), axis=0)
-    s_isect, s_occl = sorting_mod.blocked_sorted_intersectors(
+    s_isect, s_occl = sorting_mod.sorted_intersectors(
         r._isect, r._occl, lo, hi)
     js_isect = jax.jit(lambda o, d, tx: s_isect(o, d, tmin, tx))
     js_occl = jax.jit(lambda o, d, tx: s_occl(o, d, tmin, tx))
 
     timeit("bounce isect (raw, unsorted)", j_isect, bo, bd, tmax)
-    timeit("bounce isect (blocked sort)", js_isect, bo, bd, tmax)
+    timeit("bounce isect (global sort)", js_isect, bo, bd, tmax)
+
+    # later-depth realism: 50% dead lanes
+    alive = jax.random.uniform(jax.random.fold_in(key, 9), (N,)) < 0.5
+    tmax_half = jnp.where(alive, 1e8, -1.0)
+    timeit("bounce isect (sorted, 50% dead)", js_isect, bo, bd, tmax_half)
 
     # shadow to random lights
     lk = jax.random.fold_in(key, 7)
@@ -76,33 +81,21 @@ def main():
     sdir = sdir / dist[:, None]
     stx = dist - 2e-3
     timeit("shadow occl (raw, unsorted)", j_occl, bo, sdir, stx)
-    timeit("shadow occl (blocked sort)", js_occl, bo, sdir, stx)
+    timeit("shadow occl (global sort)", js_occl, bo, sdir, stx)
+    stx_half = jnp.where(alive, stx, -1.0)
+    timeit("shadow occl (sorted, 50% dead)", js_occl, bo, sdir, stx_half)
 
-    # partition machinery alone
-    def part_only(o, d, tx):
-        dd = d
-        octant = ((dd[:, 0] >= 0).astype(jnp.int32)
-                  | ((dd[:, 1] >= 0).astype(jnp.int32) << 1)
-                  | ((dd[:, 2] >= 0).astype(jnp.int32) << 2))
-        order = sorting_mod._block_partition_order(octant, 9, 2048)
-        packed = jnp.concatenate([o, d, tx[:, None]], axis=1)[order]
-        inv = jnp.zeros((order.shape[0],), jnp.int32).at[order].set(
-            jnp.arange(order.shape[0], dtype=jnp.int32))
-        return packed[:, 0][inv]
-    timeit("octant partition+gather+unsort only", jax.jit(part_only),
-           bo, bd, tmax)
-
-    def radix_only(o, d, tx):
-        from lumenrenderer_tpu.accel import morton as morton_mod
-        end = o + d * tx[:, None]
-        cell = (morton_mod.morton3d(end, lo, hi) >> 24).astype(jnp.int32)
-        order = sorting_mod._radix_block_order(cell, 2, 2048)
-        packed = jnp.concatenate([o, d, tx[:, None]], axis=1)[order]
-        inv = jnp.zeros((order.shape[0],), jnp.int32).at[order].set(
-            jnp.arange(order.shape[0], dtype=jnp.int32))
-        return packed[:, 0][inv]
-    timeit("endpoint radix2 partition only", jax.jit(radix_only),
-           bo, sdir, stx)
+    from lumenrenderer_tpu.integrator.surface import extract_surface_data
+    from lumenrenderer_tpu.integrator import nee as nee_mod
+    j_ext = jax.jit(lambda o, d, hh: extract_surface_data(
+        sc, o, d, hh["t"], hh["tri"], hh["u"], hh["v"]))
+    timeit("extract_surface_data", j_ext, ray_o, ray_d, hits)
+    ltab = jax.jit(nee_mod.build_light_table, static_argnames=("selection",))(
+        sc, selection="cdf")
+    u3 = jax.random.uniform(jax.random.fold_in(key, 3), (N, 3))
+    sd0 = j_ext(ray_o, ray_d, hits)
+    timeit("nee sample_light", jax.jit(
+        lambda u, p: nee_mod.sample_light(ltab, u, p)), u3, sd0.position)
 
     # culling alone at the renderer's mv
     mv = min(r.clusters.num_clusters, 128)

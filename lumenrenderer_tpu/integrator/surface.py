@@ -42,15 +42,12 @@ class SurfaceData:
     front_face: jnp.ndarray    # (R,) bool — ray hit the front side (for IOR)
 
 
-def _attr_table(scene: SceneData) -> jnp.ndarray:
-    """Per-triangle flat attribute table (N, 45+MW): geometric normal, vertex
-    normals, UVs, tangents, packed material row, instance emission override,
-    and the triangle vertices for exact-hit re-derivation.
-
-    Column layout: geo_n 0:3 | normals 3:12 | uv 12:18 | tangent 18:30 |
-    material 30:30+MW | emission mode 30+MW | emission override 31+MW:34+MW |
-    mat idx 34+MW | light row 35+MW | p0 36+MW:39+MW | e1 39+MW:42+MW |
-    e2 42+MW:45+MW (MW = materials.packed() width).
+def _attr_table(scene: SceneData, with_uv: bool = True,
+                with_tangent: bool = True):
+    """Per-triangle flat attribute table + its column map: geometric normal,
+    vertex normals, (optionally) UVs and tangents, packed material row,
+    instance emission override, and the triangle vertices for exact-hit
+    re-derivation.
 
     Built from the SoA scene pytree ONCE per frame (pure elementwise ops over
     N + two N-row gathers); the per-RAY access in `extract_surface_data` is
@@ -58,6 +55,13 @@ def _attr_table(scene: SceneData) -> jnp.ndarray:
     get (4,128)-tiled layouts — a measured 57x HBM padding expansion (7 GB at
     1440p) plus 4x the fixed gather cost. Differentiable: the material block
     is a gather of `materials.packed()`, so pixel gradients flow to params.
+
+    Round 4: uv/tangent/lod columns (19 of ~68) are skipped when the caller
+    can prove them unused (untextured scene, no normal maps, no anisotropy) —
+    extract runs every depth, and the per-row gather cost is linear in row
+    width (measured 105 ms/depth at 1440p with the full table).
+
+    Returns (table (N, C), cols {name: (start, stop)}).
     """
     n = scene.tri_pos.shape[0]
     p0 = scene.tri_pos[:, 0]
@@ -66,32 +70,39 @@ def _attr_table(scene: SceneData) -> jnp.ndarray:
     geo_n = vm.normalize(jnp.cross(e1, e2))
     mode = scene.inst_emission_mode[scene.tri_inst]
     override = scene.inst_emission_override[scene.tri_inst]
-    return jnp.concatenate(
-        [
-            geo_n,                                   # 0:3
-            scene.tri_normal.reshape(n, 9),          # 3:12
-            scene.tri_uv.reshape(n, 6),              # 12:18
-            scene.tri_tangent.reshape(n, 12),        # 18:30
-            scene.materials.packed()[scene.tri_mat], # 30:30+MW
-            mode[:, None].astype(jnp.float32),       # 30+MW
-            override,                                # 31+MW:34+MW
-            scene.tri_mat[:, None].astype(jnp.float32),  # 34+MW (exact <2^24)
-            # tri->light inverse row (for MIS light pdf) rides the same
-            # gather — a separate (R,) int gather measured 37 ms at 1440p
-            scene.lights.tri_to_light[:, None].astype(jnp.float32),  # 35+MW
-            # triangle vertices (p0,e1,e2): exact t/u/v are re-derived HERE
-            # via elementwise Moller-Trumbore instead of a second per-ray
-            # (R,10,4) coefficient gather + einsum in the intersector's
-            # winner decode (measured 59 ms/call + a ~590 MB spike at 1440p)
-            p0,                                      # 36+MW:39+MW
-            e1,                                      # 39+MW:42+MW
-            e2,                                      # 42+MW:45+MW
-            # mip LOD base: 0.5*log2(A_uv/A_world) per triangle (texels per
-            # world length enters at sample time per texture) — 45+MW
-            _lod_base(scene)[:, None],
-        ],
-        axis=1,
-    )
+    parts, cols = [], {}
+    cursor = 0
+
+    def add(name, arr):
+        nonlocal cursor
+        parts.append(arr)
+        cols[name] = (cursor, cursor + arr.shape[1])
+        cursor += arr.shape[1]
+
+    add("geo_n", geo_n)
+    add("normals", scene.tri_normal.reshape(n, 9))
+    if with_uv:
+        add("uv", scene.tri_uv.reshape(n, 6))
+    if with_tangent:
+        add("tangent", scene.tri_tangent.reshape(n, 12))
+    add("material", scene.materials.packed()[scene.tri_mat])
+    add("em_mode", mode[:, None].astype(jnp.float32))
+    add("em_override", override)
+    add("mat_idx", scene.tri_mat[:, None].astype(jnp.float32))  # exact <2^24
+    # tri->light inverse row (for MIS light pdf) rides the same gather — a
+    # separate (R,) int gather measured 37 ms at 1440p
+    add("light_row", scene.lights.tri_to_light[:, None].astype(jnp.float32))
+    # triangle vertices (p0,e1,e2): exact t/u/v are re-derived in extract via
+    # elementwise Moller-Trumbore instead of a second per-ray (R,10,4)
+    # coefficient gather + einsum (measured 59 ms/call + ~590 MB at 1440p)
+    add("p0", p0)
+    add("e1", e1)
+    add("e2", e2)
+    if with_uv:
+        # mip LOD base: 0.5*log2(A_uv/A_world) per triangle (texels per
+        # world length enters at sample time per texture)
+        add("lod", _lod_base(scene)[:, None])
+    return jnp.concatenate(parts, axis=1), cols
 
 
 def _lod_base(scene: SceneData) -> jnp.ndarray:
@@ -119,6 +130,7 @@ def extract_surface_data(
     mip_spread=None,
     mip_dist0=None,
     detach_geom: bool = False,
+    with_tangent: bool = True,
 ) -> SurfaceData:
     """mip_spread/mip_dist0: optional ray-footprint mip selection (≙ the
     reference's mipmapped texture sampling, `PTTexture.cpp:64-65`):
@@ -130,16 +142,28 @@ def extract_surface_data(
     NOTE: the passed-in hit_t/hit_u/hit_v are intentionally IGNORED — exact
     t/u/v are re-derived below from the winner triangle's vertices (fused into
     the attr-table gather). Intersectors only need to supply a correct
-    `hit_tri`; quantized t / zero u,v from the tiled fast path are fine."""
+    `hit_tri`; quantized t / zero u,v from the tiled fast path are fine.
+
+    with_tangent: pass False when the caller can prove tangents unused (no
+    normal maps, no anisotropy): skips 12 gather columns + the interpolation
+    (extract runs every depth; row width is the gather cost)."""
     valid = hit_tri >= 0
     tri = jnp.maximum(hit_tri, 0)
 
-    mw = scene.materials.packed().shape[1]
-    att = _attr_table(scene)[tri]    # (R, 45+mw) — THE per-ray gather
+    # static fast path: a trivial atlas (only the builtin white texel) means
+    # no material references any texture — skip uv/lod columns + sampling
+    has_textures = scene.textures.count > 1
+    table, col = _attr_table(scene, with_uv=has_textures,
+                             with_tangent=with_tangent)
+    att = table[tri]                 # (R, C) — THE per-ray gather
     # Barrier: many downstream fusions consume `att`; without it XLA
     # duplicates the (R,~66) gather into each consumer fusion (measured 4x
     # the gather cost at 1440p). One materialization, then cheap slices.
     att = jax.lax.optimization_barrier(att)
+
+    def c(name, lo=0, hi=None):
+        s0, s1 = col[name]
+        return att[:, s0 + lo: (s1 if hi is None else s0 + hi)]
 
     # Exact t/u/v via elementwise Moller-Trumbore on the gathered vertices:
     # the tiled intersector's packed winner key only resolves t to
@@ -147,9 +171,9 @@ def extract_surface_data(
     # exact hit attribs from OptiX per-hit registers). Recomputing here is
     # fused VPU math on the already-gathered attr row — no extra gather —
     # and is exact f32 for every accel backend (brute/bvh pass-ins match).
-    p0 = att[:, 36 + mw:39 + mw]
-    e1 = att[:, 39 + mw:42 + mw]
-    e2 = att[:, 42 + mw:45 + mw]
+    p0 = c("p0")
+    e1 = c("e1")
+    e2 = c("e2")
     pvec = jnp.cross(ray_d, e2)
     det = vm.dot(e1, pvec)
     okd = jnp.abs(det) > 1e-14
@@ -185,13 +209,27 @@ def extract_surface_data(
     position = ray_o + t_safe[..., None] * ray_d
     # column-sliced barycentric interp: rank-3 (R,3,3) reshapes get
     # (8,128)-tiled minor dims on TPU — measured ~25 ms/pass at 1440p
-    normal = vm.normalize(w * att[:, 3:6] + u_ * att[:, 6:9] + v_ * att[:, 9:12])
-    uv = w * att[:, 12:14] + u_ * att[:, 14:16] + v_ * att[:, 16:18]
-    tangent = vm.normalize(
-        w * att[:, 18:21] + u_ * att[:, 22:25] + v_ * att[:, 26:29]
-    )
-    handed = jnp.sign(att[:, 21] + 1e-8)
-    geo_normal = att[:, 0:3]
+    normal = vm.normalize(
+        w * c("normals", 0, 3) + u_ * c("normals", 3, 6)
+        + v_ * c("normals", 6, 9))
+    if has_textures:
+        uv = w * c("uv", 0, 2) + u_ * c("uv", 2, 4) + v_ * c("uv", 4, 6)
+    else:
+        uv = jnp.zeros(hit_t.shape + (2,), jnp.float32)
+    geo_normal = c("geo_n")
+    if with_tangent:
+        tangent = vm.normalize(
+            w * c("tangent", 0, 3) + u_ * c("tangent", 4, 7)
+            + v_ * c("tangent", 8, 11))
+        handed = jnp.sign(c("tangent", 3, 4)[:, 0] + 1e-8)
+    else:
+        # cheap orthonormal frame from the geometric normal (never consumed
+        # by shading when with_tangent=False, but keeps shapes/semantics)
+        a = jnp.where(jnp.abs(geo_normal[:, 1:2]) < 0.9,
+                      jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32),
+                      jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32))
+        tangent = vm.normalize(jnp.cross(a, geo_normal))
+        handed = jnp.ones_like(hit_t)
     # orient shading normal to the geometric side facing the ray
     front_face = vm.dot(geo_normal, -ray_d) >= 0.0
     flip = jnp.where(front_face, 1.0, -1.0)
@@ -201,15 +239,12 @@ def extract_surface_data(
     mats = scene.materials
     from ..scene.materials import GatheredMaterial
 
-    rows = att[:, 30:30 + mw]
+    rows = c("material")
     g = GatheredMaterial(rows)
     # mat index rides the attr table as an exact float column — a separate
     # int (R,) gather of tri_mat measured 38 ms at 1440p
-    mat_idx = att[:, 34 + mw].astype(jnp.int32)
-    light_row = jnp.where(valid, att[:, 35 + mw].astype(jnp.int32), -1)
-    # static fast path: a trivial atlas (only the builtin white texel) means
-    # no material references any texture — skip all sampling gathers
-    has_textures = scene.textures.count > 1
+    mat_idx = c("mat_idx")[:, 0].astype(jnp.int32)
+    light_row = jnp.where(valid, c("light_row")[:, 0].astype(jnp.int32), -1)
     if has_textures:
         if mip_spread is not None:
             cos_d = jnp.abs(vm.dot(geo_normal, ray_d))
@@ -219,7 +254,7 @@ def extract_surface_data(
                 / jnp.sqrt(jnp.maximum(cos_d, 0.02))
             )
             fp = jnp.where(valid, fp, 1.0)
-            lod_uv = jnp.log2(jnp.maximum(fp, 1e-20)) + att[:, 45 + mw]
+            lod_uv = jnp.log2(jnp.maximum(fp, 1e-20)) + c("lod")[:, 0]
             _sample = lambda tid, u: sample_trilinear(
                 scene.textures, tid, u, lod_uv)
         else:
@@ -234,8 +269,8 @@ def extract_surface_data(
         alpha = jnp.ones_like(hit_t)
         emissive = g.emissive
     # instance emission override (≙ DevicePrimitiveInstance override modes)
-    mode = att[:, 30 + mw]
-    override = att[:, 31 + mw:34 + mw]
+    mode = c("em_mode")[:, 0]
+    override = c("em_override")
     emissive = jnp.where((mode == 2.0)[..., None], override, emissive)
     emissive = jnp.where((mode == 0.0)[..., None], 0.0, emissive)
 

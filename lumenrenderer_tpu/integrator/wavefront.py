@@ -98,6 +98,11 @@ class RenderConfig:
     # Mipmapped texture sampling (≙ PTTexture.cpp:64-65): ray-footprint
     # trilinear LOD; level-0 bilinear when off. No cost for untextured scenes.
     mipmaps: bool = True
+    # Gather tangent columns in extract (12 of ~68 table columns + interp).
+    # The Renderer flips this off automatically when the scene provably has
+    # no normal maps and no anisotropic materials — extract runs every
+    # depth and its per-ray gather cost is linear in row width.
+    extract_tangent: bool = True
     # Rematerialize depths >= 1 in reverse mode (jax.checkpoint): trades
     # ~1 extra forward of compute for O(depth) less residual memory — the
     # only way 1440p backward fits one chip. Off by default (forward-only
@@ -289,6 +294,7 @@ def render_wavefront(
             scene, ray_o, ray_d, hits["t"], hits["tri"], hits["u"], hits["v"],
             mip_spread=mip_spread, mip_dist0=path_dist,
             detach_geom=cfg.detach_sampling,
+            with_tangent=cfg.extract_tangent,
         )
         if use_mips:
             path_dist = path_dist + jnp.where(sd.valid, sg(sd.t), 0.0)

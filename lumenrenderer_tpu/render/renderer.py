@@ -70,6 +70,18 @@ class Renderer:
         per-stage map is refreshed by a sampling probe (`profile_stages`
         with reps=1) every N frames and merged into every frame's stats."""
         self.scene = scene
+        # static scene facts the jitted frame can exploit (values are
+        # concrete HERE, traced inside the step): tangents are only consumed
+        # by normal mapping and anisotropic specular
+        if config.extract_tangent:
+            import dataclasses as _dc
+
+            needs_tangent = bool(
+                np.any(np.asarray(scene.materials.anisotropic) != 0.0)
+                or np.any(np.asarray(scene.materials.normal_tex) >= 0)
+            )
+            if not needs_tangent:
+                config = _dc.replace(config, extract_tangent=False)
         self.config = config
         self.accel_kind = accel
         self.frame_stats: Dict[str, float] = {}

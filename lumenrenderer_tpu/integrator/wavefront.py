@@ -92,8 +92,9 @@ class RenderConfig:
     # compatible with ReSTIR's pixel-grid neighbour logic yet.
     swizzle: bool = False
     # Sort secondary rays for intersector coherence (round 4 default ON):
-    # block-local partition — bounce rays by direction octant, shadow rays by
-    # light-endpoint cell (accel/sorting.py:blocked_sorted_intersectors)
+    # global argsort — bounce rays by [octant|origin morton], shadow rays by
+    # origin->light capsule key (accel/sorting.py:sorted_intersectors; the
+    # block-local partition was a measured loser, see that file)
     sort_secondary: bool = True
     # Mipmapped texture sampling (≙ PTTexture.cpp:64-65): ray-footprint
     # trilinear LOD; level-0 bilinear when off. No cost for untextured scenes.

@@ -41,9 +41,14 @@ def initialize(
     process_id = process_id if process_id is not None else (
         int(os.environ["JAX_PROCESS_ID"])
         if "JAX_PROCESS_ID" in os.environ else None)
-    on_tpu_pod = jax.default_backend() == "tpu" and (
+    # Pod detection from environment variables ONLY (ADVICE r4 high):
+    # touching any backend-initializing JAX API (jax.default_backend(),
+    # jax.devices(), ...) before jax.distributed.initialize() makes JAX
+    # 0.9 raise "must be called before any backend is initialized", so a
+    # backend probe here would break every real multi-host bootstrap.
+    on_tpu_pod = (
         int(os.environ.get("TPU_WORKER_COUNT", "1")) > 1
-        or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+        or bool(os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
     )
     if coordinator_address is None and not on_tpu_pod:
         return False  # single-process: nothing to do

@@ -415,6 +415,32 @@ class Renderer:
         """≙ `LumenRenderer::GetLastFrameStats` (`LumenRenderer.h:29-34`)."""
         return dict(self.frame_stats)
 
+    def _probe_fns(self) -> Dict[str, Callable]:
+        """Jitted per-stage probe programs, built once and reused across
+        `profile_stages`/`stats_every` calls (camera and scene are arguments,
+        not closures, so probes never retrace on new cameras)."""
+        if getattr(self, "_probes", None) is not None:
+            return self._probes
+        from ..core import camera as camera_mod
+        from ..integrator import nee as nee_mod
+        from ..integrator import wavefront as wf
+        from ..integrator.surface import extract_surface_data
+
+        cfg = self.config
+        tmin = jnp.float32(1e-3)
+        self._probes = {
+            "prim": jax.jit(lambda cam, fi, k: camera_mod.generate_primary_rays(
+                cam, cfg.width, cfg.height, fi, key=k, jitter=cfg.jitter)),
+            "isect": jax.jit(lambda o, d, tx: self._isect(o, d, tmin, tx)),
+            "occl": jax.jit(lambda o, d, tx: self._occl(o, d, tmin, tx)),
+            "extract": jax.jit(lambda s, o, d, hh: extract_surface_data(
+                s, o, d, hh["t"], hh["tri"], hh["u"], hh["v"])),
+            "bsdf": jax.jit(lambda s, sd, a, b: wf._bsdf_eval(
+                cfg, sd, s.materials, a, b)),
+            "nee": jax.jit(lambda lt, u, pos: nee_mod.sample_light(lt, u, pos)),
+        }
+        return self._probes
+
     def profile_stages(self, camera: Camera, reps: int = 3,
                        seed: int = 0) -> Dict[str, float]:
         """Per-stage frame-time breakdown, merged into `frame_stats`.
@@ -428,13 +454,10 @@ class Renderer:
         """
         import time as _time
 
-        from ..core import camera as camera_mod
         from ..integrator import nee as nee_mod
-        from ..integrator.surface import extract_surface_data
-        from ..integrator import wavefront as wf
 
         cfg = self.config
-        w, h, n = cfg.width, cfg.height, cfg.num_pixels
+        n = cfg.num_pixels
         sc = self.scene
         key = jax.random.PRNGKey(seed)
         stats: Dict[str, float] = {}
@@ -448,37 +471,31 @@ class Renderer:
             stats[name] = (_time.perf_counter() - t0) / reps * 1e3
             return out
 
-        j_prim = jax.jit(lambda fi, k: camera_mod.generate_primary_rays(
-            camera, w, h, fi, key=k, jitter=cfg.jitter))
-        ray_o, ray_d = timeit("GeneratePrimaryRays", j_prim, jnp.int32(0), key)
-        tmin = jnp.float32(1e-3)
+        # probe programs are built + jitted ONCE (ADVICE r4 low: building
+        # fresh jax.jit lambdas per call recompiled ~6 programs every Nth
+        # frame under stats_every); camera/scene ride as ARGUMENTS
+        p = self._probe_fns()
+        ray_o, ray_d = timeit("GeneratePrimaryRays", p["prim"], camera,
+                              jnp.int32(0), key)
         tmax = jnp.full((n,), 1e8, jnp.float32)
-        j_isect = jax.jit(lambda o, d, tx: self._isect(o, d, tmin, tx))
-        j_occl = jax.jit(lambda o, d, tx: self._occl(o, d, tmin, tx))
-        hits = timeit("Intersect (primary, coherent)", j_isect,
+        hits = timeit("Intersect (primary, coherent)", p["isect"],
                       ray_o, ray_d, tmax)
-        j_ext = jax.jit(lambda o, d, hh: extract_surface_data(
-            sc, o, d, hh["t"], hh["tri"], hh["u"], hh["v"]))
-        sd = timeit("ExtractSurfaceData", j_ext, ray_o, ray_d, hits)
+        sd = timeit("ExtractSurfaceData", p["extract"], sc, ray_o, ray_d, hits)
         ku = jax.random.uniform(jax.random.fold_in(key, 1), (n, 3)) * 2 - 1
         bd = ku / jnp.linalg.norm(ku, axis=-1, keepdims=True)
         # bounce origins from extract's EXACT sd.t (the tiled fast path's
         # hits["t"] is the quantized packed-key distance — ADVICE r3)
         bo = ray_o + jnp.where(
             jnp.isfinite(sd.t), sd.t, 1.0)[:, None] * ray_d
-        timeit("Intersect (bounce, incoherent)", j_isect, bo, bd, tmax)
-        timeit("Occlusion (shadow)", j_occl, bo, bd, tmax)
+        timeit("Intersect (bounce, incoherent)", p["isect"], bo, bd, tmax)
+        timeit("Occlusion (shadow)", p["occl"], bo, bd, tmax)
         wo = -ray_d
-        u4 = jax.random.uniform(jax.random.fold_in(key, 2), (n, 4))
-        j_eval = jax.jit(lambda s, a, b: wf._bsdf_eval(
-            cfg, s, sc.materials, a, b))
-        timeit("BSDF evaluate", j_eval, sd, wo, bd)
+        timeit("BSDF evaluate", p["bsdf"], sc, sd, wo, bd)
         ltab = jax.jit(nee_mod.build_light_table,
                        static_argnames=("selection",))(
             sc, selection=cfg.light_selection)
         u3 = jax.random.uniform(jax.random.fold_in(key, 3), (n, 3))
-        j_nee = jax.jit(lambda u, p: nee_mod.sample_light(ltab, u, p))
-        timeit("ShadeDirect sample_light", j_nee, u3, sd.position)
+        timeit("ShadeDirect sample_light", p["nee"], ltab, u3, sd.position)
 
         def _run(st_):
             if self._dynamic is not None:

@@ -27,10 +27,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..accel.stream import refit_clusters as _refit_clusters
 from ..core.transform import Transform
 from .geometry import FlatGeometry, InstanceHost, flatten_instances
 from .lights import refit_lights
 from .scene import SceneBuilder, SceneData
+
+_jit_refit = jax.jit(_refit_clusters)
 
 
 @jax.jit
@@ -125,6 +128,6 @@ class DynamicScene:
         self.dirty = False
         if clusters is None:
             return new_scene, None
-        from ..accel.stream import refit_clusters
-
-        return new_scene, jax.jit(refit_clusters)(clusters, pos)
+        # jitted ONCE (module-level wrapper): re-wrapping jax.jit per rebake
+        # would re-hash/retrace every edit (ADVICE r4 low)
+        return new_scene, _jit_refit(clusters, pos)

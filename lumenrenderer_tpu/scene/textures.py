@@ -38,14 +38,16 @@ class TextureAtlas:
 
 
 def _downsample2(a: np.ndarray) -> np.ndarray:
-    """2x2 box filter with odd-dimension handling (edge-pad to even)."""
-    h, w = a.shape[:2]
-    if h > 1 and h % 2:
-        a = np.concatenate([a, a[-1:]], axis=0)
-    if w > 1 and w % 2:
-        a = np.concatenate([a, a[:, -1:]], axis=1)
+    """2x2 box filter producing max(1, d//2) dims — the CUDA mipmapped-array
+    convention the reference relies on, and the dims `_bilinear_level`
+    computes as width>>level (floor-div by 2 composes: (w//2)//2 == w>>2).
+    ADVICE r4: the earlier edge-pad-to-even variant stored a 3x2 level for a
+    5x3 image while sampling computed 2x1, corrupting stride and wrap for
+    every level >= 1 of non-power-of-two textures. Odd trailing texels are
+    cropped from the filter footprint."""
     h, w = a.shape[:2]
     nh, nw = max(h // 2, 1), max(w // 2, 1)
+    a = a[: nh * 2 if h > 1 else 1, : nw * 2 if w > 1 else 1]
     if h == 1:
         return a.reshape(1, nw, 2, -1).mean(axis=2)
     if w == 1:

@@ -73,8 +73,15 @@ def sorted_intersectors(isect, occl, scene_lo, scene_hi):
         order, os_, ds_, tns, txs = _prep(o, d, tn, tx)
         res = isect(os_, ds_, tns, txs)
         inv = jnp.argsort(order)
-        # unsort per-ray fields with ONE packed gather; pass scalars through
-        per_ray = {k2: v for k2, v in res.items() if v.ndim > 0}
+        # unsort per-ray fields with ONE packed gather; pass scalars through.
+        # Round 5: "u"/"v" are never consumed downstream — extract_surface_
+        # data re-derives exact t/u/v from the winner triangle (surface.py
+        # NOTE) — so they skip the unsort gather entirely (the (R,k) unsort
+        # costs ~11 ns/row·col at 1440p; halving the width is ~15 ms/pass).
+        per_ray = {k2: v for k2, v in res.items()
+                   if v.ndim > 0 and k2 not in ("u", "v")}
+        passthrough = {k2: jnp.zeros_like(v) for k2, v in res.items()
+                       if v.ndim > 0 and k2 in ("u", "v")}
         scalars = {k2: v for k2, v in res.items() if v.ndim == 0}
         names = sorted(per_ray)
 
@@ -93,6 +100,7 @@ def sorted_intersectors(isect, occl, scene_lo, scene_hi):
             k2: from_f32(cat[:, i_], per_ray[k2].dtype)
             for i_, k2 in enumerate(names)
         }
+        out.update(passthrough)
         out.update(scalars)
         return out
 

@@ -51,6 +51,7 @@ class Renderer:
         dynamic=None,
         mesh=None,
         stats_every: int = 0,
+        builder=None,
     ):
         """dynamic: optional `scene.dynamic.DynamicScene` — threads the scene
         AND cluster set through the jitted step as arguments so instance-
@@ -102,7 +103,8 @@ class Renderer:
             self.scene = shard_mod.replicate(scene, mesh)
             scene = self.scene
         if dynamic is not None:
-            assert accel == "tiled", "dynamic scenes require accel='tiled'"
+            assert accel in ("tiled", "two_level"), (
+                "dynamic scenes require accel='tiled' or 'two_level'")
             assert not config.use_restir, "dynamic+ReSTIR not supported yet"
         if use_pallas == "auto":
             # the fused Pallas visit kernel is the TPU fast path; XLA scan
@@ -137,6 +139,44 @@ class Renderer:
             isect, occl = tiled.tiled_intersectors(
                 self.clusters, **self._tiled_opts,
             )
+        elif accel == "two_level":
+            # TLAS/BLAS instancing (round 5, ≙ per-primitive GAS + IAS,
+            # WaveFrontRenderer.cpp:1148-1252 / PTScene.cpp:77-160): geometry
+            # clustered ONCE per unique mesh in object space; rays transform
+            # into instance space at the TLAS leaf. Needs the SceneBuilder
+            # (instances + meshes); the flattened SceneData still provides
+            # the shading attributes, indexed by the decoded virtual tri id.
+            from ..accel import two_level as two_level_mod
+
+            assert builder is not None, (
+                "accel='two_level' needs builder=<SceneBuilder> for the "
+                "instance/mesh tables")
+            mesh_slot: Dict[int, int] = {}
+            meshes_np, inst_mesh, inst_tf = [], [], []
+            for inst in builder.instances:
+                mkey = id(inst.mesh)
+                if mkey not in mesh_slot:
+                    mesh_slot[mkey] = len(meshes_np)
+                    meshes_np.append(
+                        inst.mesh.positions[inst.mesh.indices])
+                inst_mesh.append(mesh_slot[mkey])
+                inst_tf.append(inst.transform)
+            self.bvh = None
+            self.clusters = None
+            self.instanced = two_level_mod.build_instanced(
+                meshes_np, inst_mesh, inst_tf, cluster_size=cluster_size)
+            v = self.instanced.num_clusters
+            if max_visits == "auto":
+                max_visits = min(v, 128) if use_pallas else min(v, 64)
+            self._twolevel_opts = dict(
+                max_visits=min(max_visits, 128) if use_pallas else max_visits,
+                precision=("high" if candidate_dtype in ("high", "float32")
+                           else candidate_dtype),
+                culling=culling, use_pallas=bool(use_pallas),
+                interpret=jax.default_backend() != "tpu",
+            )
+            isect, occl = two_level_mod.instanced_intersectors(
+                self.instanced, **self._twolevel_opts)
         elif accel == "stream":
             # first-generation pair-stream intersector (kept for comparison)
             self.bvh = None
@@ -298,6 +338,18 @@ class Renderer:
 
             self._step = jax.jit(
                 step, donate_argnums=(0,) if donate else ())
+        elif accel == "two_level":
+            from ..accel import two_level as two_level_mod
+
+            def step(st, camera, scene_, ics_):
+                # the instanced accel rides as a pytree ARG: transform edits
+                # refit O(units) on device, never retrace
+                isect_, occl_ = two_level_mod.instanced_intersectors(
+                    ics_, **self._twolevel_opts)
+                return run(st, camera, scene_, isect_, occl_)
+
+            self._step = jax.jit(
+                step, donate_argnums=(0,) if donate else ())
         else:
             from ..accel import tiled as tiled_mod
 
@@ -328,11 +380,20 @@ class Renderer:
         """One progressive frame. Returns (new_state, aux AOV dict)."""
         t0 = time.perf_counter()
         if self._dynamic is not None:
-            if self._dynamic.dirty:
-                # one jitted device rebake: geometry + lights + cluster refit
-                self.scene, self.clusters = self._dynamic.rebake(
-                    self.scene, self.clusters)
-            new_st, aux = self._step(st, camera, self.scene, self.clusters)
+            if self.accel_kind == "two_level":
+                if self._dynamic.dirty:
+                    # attrs rebake O(T) + accel refit O(units) — no triangle
+                    # re-transform in the accel (≙ IAS-only rebuild)
+                    self.scene, self.instanced = self._dynamic.rebake_two_level(
+                        self.scene, self.instanced)
+                new_st, aux = self._step(st, camera, self.scene, self.instanced)
+            else:
+                if self._dynamic.dirty:
+                    # one jitted device rebake: geometry + lights + cluster
+                    # refit
+                    self.scene, self.clusters = self._dynamic.rebake(
+                        self.scene, self.clusters)
+                new_st, aux = self._step(st, camera, self.scene, self.clusters)
         else:
             new_st, aux = self._step(st, camera, self.scene)
         jax.block_until_ready(new_st.accum)

@@ -36,6 +36,15 @@ from .scene import SceneBuilder, SceneData
 _jit_refit = jax.jit(_refit_clusters)
 
 
+def _refit_inst(ics, mats):
+    from ..accel.two_level import refit_instances
+
+    return refit_instances(ics, mats)
+
+
+_jit_refit_inst = jax.jit(_refit_inst)
+
+
 @jax.jit
 def _transform_geometry(obj_pos, obj_normal, obj_tangent, tri_inst, mats4):
     """Apply per-instance 4x4s to the object-space triangle SoA (device)."""
@@ -46,11 +55,14 @@ def _transform_geometry(obj_pos, obj_normal, obj_tangent, tri_inst, mats4):
     r_t = rot[tri_inst]                            # (T,3,3)
     t_t = trn[tri_inst]                            # (T,3)
     rit_t = rot_it[tri_inst]
-    pos = jnp.einsum("tij,tvj->tvi", r_t, obj_pos) + t_t[:, None, :]
-    nrm = jnp.einsum("tij,tvj->tvi", rit_t, obj_normal)
+    # HIGHEST: default TPU matmul is one bf16 pass — rebaked vertex
+    # positions would be 2^-8-rounded (geometry cracks)
+    hp = jax.lax.Precision.HIGHEST
+    pos = jnp.einsum("tij,tvj->tvi", r_t, obj_pos, precision=hp) + t_t[:, None, :]
+    nrm = jnp.einsum("tij,tvj->tvi", rit_t, obj_normal, precision=hp)
     nrm = nrm / jnp.maximum(
         jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
-    tan_xyz = jnp.einsum("tij,tvj->tvi", r_t, obj_tangent[..., :3])
+    tan_xyz = jnp.einsum("tij,tvj->tvi", r_t, obj_tangent[..., :3], precision=hp)
     tan = jnp.concatenate([tan_xyz, obj_tangent[..., 3:4]], axis=-1)
     return pos, nrm, tan
 
@@ -131,3 +143,11 @@ class DynamicScene:
         # jitted ONCE (module-level wrapper): re-wrapping jax.jit per rebake
         # would re-hash/retrace every edit (ADVICE r4 low)
         return new_scene, _jit_refit(clusters, pos)
+
+    def rebake_two_level(self, scene: SceneData, ics):
+        """Two-level variant (round 5): shading attributes rebake O(T) as
+        above, but the ACCEL refit is `two_level.refit_instances` — O(units),
+        no triangle re-transform (≙ the reference rebuilding only the IAS on
+        transform dirt, PTScene.cpp:77-160)."""
+        new_scene, _ = self.rebake(scene, None)
+        return new_scene, _jit_refit_inst(ics, jnp.asarray(self.world_matrices()))

@@ -32,7 +32,7 @@ class SurfaceData:
     roughness: jnp.ndarray     # (R,)
     alpha: jnp.ndarray         # (R,) opacity from base-color texture alpha
     mat_idx: jnp.ndarray       # (R,) int32
-    mat_rows: jnp.ndarray      # (R,22) packed material params (one gather)
+    mat_rows: jnp.ndarray      # (R,25) packed material params (one gather)
     light_row: jnp.ndarray     # (R,) int32 tri->light row (-1 = not a light)
     tri_idx: jnp.ndarray       # (R,) int32 (-1 = miss)
     tangent: jnp.ndarray       # (R,3) world UV-aligned tangent (anisotropy axis)
@@ -261,12 +261,13 @@ def extract_surface_data(
             _sample = lambda tid, u: sample_bilinear(scene.textures, tid, u)
         base_tex = _sample(mats.base_color_tex[mat_idx], uv)
         base_color = g.base_color * base_tex[..., :3]
-        alpha = base_tex[..., 3]
+        # glTF: effective alpha = baseColorFactor.a x baseColorTexture.a
+        alpha = base_tex[..., 3] * g.alpha_factor
         em_tex = _sample(mats.emissive_tex[mat_idx], uv)
         emissive = g.emissive * em_tex[..., :3]
     else:
         base_color = g.base_color
-        alpha = jnp.ones_like(hit_t)
+        alpha = g.alpha_factor
         emissive = g.emissive
     # instance emission override (≙ DevicePrimitiveInstance override modes)
     mode = c("em_mode")[:, 0]

@@ -70,7 +70,11 @@ class RenderConfig:
     rr_min_prob: float = 0.05
     use_restir: bool = False      # M5: ReSTIR DI for primary hits
     jitter: str = "random"        # "halton" | "random" | "center"
-    alpha_test: bool = False      # stochastic alpha transparency
+    alpha_test: bool = False      # legacy global stochastic alpha (pre-r5)
+    # per-material alpha pipeline (glTF alphaMode/alphaCutoff/doubleSided;
+    # the Renderer auto-enables this when the scene has any non-OPAQUE or
+    # single-sided material)
+    alpha_materials: bool = False
     # Differentiability (M4): "detached sampling" discipline — BVH hits,
     # sampled directions, pdfs, MIS and RR weights are stop-gradient'ed so
     # pixel gradients w.r.t. material/emission/volume params are unbiased
@@ -401,11 +405,29 @@ def render_wavefront(
         first_bad = chk(first_bad, "emissive/light channels", depth,
                         direct, indirect, specular_ch)
 
-        # ---- stochastic alpha transparency ----
-        if cfg.alpha_test:
+        # ---- per-material alpha / sidedness (round 5, VERDICT #6) ----
+        # ≙ GPUExtractSurfaceData.cu:8-228 alpha-discard +
+        # SurfaceData.h:18-108 ALPHA_TRANSPARENT flags. Per-material glTF
+        # semantics: MASK = deterministic cutoff test, BLEND = stochastic
+        # passthrough with P(1-alpha), OPAQUE ignores alpha; single-sided
+        # materials cull (pass through) back-face hits. cfg.alpha_test
+        # additionally treats OPAQUE materials as BLEND (pre-r5 global
+        # stochastic semantics, kept for hand-built scenes).
+        if cfg.alpha_test or cfg.alpha_materials:
+            from ..scene.materials import GatheredMaterial as _GM
+
             akey = jax.random.fold_in(dkey, 17)
             a_u = jax.random.uniform(akey, (n,))
-            passthrough = hit_mask & (sd.alpha < a_u)
+            gm = _GM(sd.mat_rows)
+            mode = sg(gm.alpha_mode)
+            stochastic = (mode == 2.0)
+            if cfg.alpha_test:
+                stochastic = stochastic | (mode == 0.0)
+            passthrough = hit_mask & (
+                ((mode == 1.0) & (sd.alpha < sg(gm.alpha_cutoff)))
+                | (stochastic & (sd.alpha < a_u))
+                | ((sg(gm.double_sided) < 0.5) & ~sd.front_face)
+            )
             # continue the ray through the surface without shading
             hit_mask = hit_mask & ~passthrough
         else:
@@ -555,7 +577,7 @@ def render_wavefront(
                 first_bad, "bsdf_sample/throughput", depth,
                 jnp.where(alive[:, None], throughput, 0.0),
                 jnp.where(alive[:, None], ray_d, 0.0))
-        elif cfg.alpha_test:
+        elif cfg.alpha_test or cfg.alpha_materials:
             # alpha passthrough at the depth horizon: the continuation ray is
             # never traced, so at least credit the environment (otherwise
             # thin-alpha silhouettes bias dark — VERDICT r1 weak #8)

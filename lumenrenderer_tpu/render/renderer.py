@@ -83,6 +83,15 @@ class Renderer:
             )
             if not needs_tangent:
                 config = _dc.replace(config, extract_tangent=False)
+        if not config.alpha_materials:
+            import dataclasses as _dc2
+
+            # auto-enable the per-material alpha/sidedness path when the
+            # scene statically carries non-OPAQUE or single-sided materials
+            # (≙ the reference always extracting ALPHA_TRANSPARENT flags)
+            if bool(np.any(np.asarray(scene.materials.alpha_mode) != 0.0)
+                    or np.any(np.asarray(scene.materials.double_sided) < 0.5)):
+                config = _dc2.replace(config, alpha_materials=True)
         self.config = config
         self.accel_kind = accel
         self.frame_stats: Dict[str, float] = {}

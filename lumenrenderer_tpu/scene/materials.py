@@ -41,6 +41,13 @@ class MaterialTable:
     spec_trans: jnp.ndarray        # (M,) transmission weight
     ior: jnp.ndarray               # (M,) index of refraction
     transmittance: jnp.ndarray     # (M,3) Beer's-law per-channel extinction color
+    # Per-material alpha pipeline (round 5, ≙ glTF alphaMode/alphaCutoff/
+    # doubleSided and SurfaceData.h ALPHA_TRANSPARENT flags): mode
+    # 0=OPAQUE (alpha ignored), 1=MASK (cutoff test), 2=BLEND (stochastic)
+    alpha_mode: jnp.ndarray        # (M,) float {0,1,2}
+    alpha_cutoff: jnp.ndarray      # (M,)
+    double_sided: jnp.ndarray     # (M,) float {0,1}; 0 = cull back faces
+    alpha_factor: jnp.ndarray      # (M,) baseColorFactor alpha (x texture a)
     # Texture bindings (int32, -1 = none)
     base_color_tex: jnp.ndarray
     emissive_tex: jnp.ndarray
@@ -79,13 +86,17 @@ class MaterialTable:
                 self.spec_trans[:, None],            # 16
                 self.ior[:, None],                   # 17
                 self.transmittance,                  # 18:21
+                self.alpha_mode[:, None],            # 21
+                self.alpha_cutoff[:, None],          # 22
+                self.double_sided[:, None],          # 23
+                self.alpha_factor[:, None],          # 24
             ],
             axis=-1,
         )
 
 
 class GatheredMaterial:
-    """Per-ray view over packed material rows (R, 22): column slices."""
+    """Per-ray view over packed material rows (R, 25): column slices."""
 
     __slots__ = ("rows",)
 
@@ -107,6 +118,10 @@ class GatheredMaterial:
     spec_trans = property(lambda s: s.rows[..., 16])
     ior = property(lambda s: s.rows[..., 17])
     transmittance = property(lambda s: s.rows[..., 18:21])
+    alpha_mode = property(lambda s: s.rows[..., 21])
+    alpha_cutoff = property(lambda s: s.rows[..., 22])
+    double_sided = property(lambda s: s.rows[..., 23])
+    alpha_factor = property(lambda s: s.rows[..., 24])
 
 
 @dataclasses.dataclass
@@ -129,6 +144,13 @@ class MaterialSpec:
     spec_trans: float = 0.0
     ior: float = 1.5
     transmittance: tuple = (1.0, 1.0, 1.0)
+    # alpha pipeline (glTF alphaMode semantics); double_sided defaults True
+    # so hand-built scenes keep omnidirectional visibility (glTF assets set
+    # their own per-material value)
+    alpha_mode: int = 0            # 0 OPAQUE | 1 MASK | 2 BLEND
+    alpha_cutoff: float = 0.5
+    double_sided: bool = True
+    alpha_factor: float = 1.0
     base_color_tex: int = -1
     emissive_tex: int = -1
     normal_tex: int = -1
@@ -166,6 +188,11 @@ def build_material_table(specs: List[MaterialSpec]) -> MaterialTable:
         spec_trans=f("spec_trans"),
         ior=f("ior"),
         transmittance=f("transmittance"),
+        alpha_mode=f("alpha_mode"),
+        alpha_cutoff=f("alpha_cutoff"),
+        alpha_factor=f("alpha_factor"),
+        double_sided=jnp.asarray(np.array(
+            [1.0 if s.double_sided else 0.0 for s in specs], np.float32)),
         base_color_tex=i("base_color_tex"),
         emissive_tex=i("emissive_tex"),
         normal_tex=i("normal_tex"),

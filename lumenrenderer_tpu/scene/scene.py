@@ -74,10 +74,15 @@ class SceneBuilder:
     env_radiance: tuple = (0.0, 0.0, 0.0)
     volume_specs: list = dataclasses.field(default_factory=list)
 
-    def add_volume(self, density, aabb_lo, aabb_hi, sigma_t=1.0, albedo=0.9) -> int:
+    def add_volume(self, density, aabb_lo, aabb_hi, sigma_t=1.0, albedo=0.9,
+                   sparse: bool = False) -> int:
         """Add a dense density-grid volume (≙ `CreateVolume`/`PTVolume`,
-        `Framework/WaveFrontRenderer.cpp:388-433`). density: (X,Y,Z) array."""
-        self.volume_specs.append((density, aabb_lo, aabb_hi, sigma_t, albedo))
+        `Framework/WaveFrontRenderer.cpp:388-433`). density: (X,Y,Z) array.
+        sparse=True builds a SparseVolumeSet (8³ index + apron bricks,
+        memory ∝ occupancy) — all volumes in a scene share one layout, so
+        the first spec's flag wins."""
+        self.volume_specs.append(
+            (density, aabb_lo, aabb_hi, sigma_t, albedo, sparse))
         return len(self.volume_specs) - 1
 
     def add_material(self, spec: MaterialSpec) -> int:
@@ -106,9 +111,10 @@ class SceneBuilder:
         atlas = build_texture_atlas(self.texture_images)
         volumes = None
         if self.volume_specs:
-            from ..volume.grid import make_volume_set
+            from ..volume.grid import build_sparse, make_volume_set
 
-            volumes = make_volume_set(
+            make = build_sparse if self.volume_specs[0][5] else make_volume_set
+            volumes = make(
                 [np.asarray(s[0], np.float32) for s in self.volume_specs],
                 [s[1] for s in self.volume_specs],
                 [s[2] for s in self.volume_specs],

@@ -1,15 +1,23 @@
-"""Density-grid volumes (NanoVDB-style dense grids).
+"""Density-grid volumes: dense bricks + NanoVDB-style sparse grids.
 
 TPU-native replacement for the reference's volume stack: `PTVolume` loads
 .vdb via OpenVDB → NanoVDB → GPU buffer (`Framework/PTVolume.cpp:47-105`);
-here a volume is a dense float32 density brick in a pytree — trilinearly
-sampled with gathers, fully differentiable w.r.t. density (the north star's
+here a volume is a float32 density field in a pytree — trilinearly sampled
+with gathers, fully differentiable w.r.t. density (the north star's
 volume-density gradients), replicable across the mesh, checkpointable.
 
-NanoVDB's sparse tree is a GPU-memory optimization; on TPU a dense brick
-(optionally downsampled at load) keeps sampling branch-free and vectorized.
-OpenVDB loading is gated (not in this image); .npz/.npy bricks and
-procedural builders cover tests and benchmarks.
+Two layouts share one sampling API (`sample_density` dispatches statically):
+
+- `VolumeSet`: one dense (X,Y,Z) brick per volume. Branch-free, ideal for
+  small/medium grids and tests.
+- `SparseVolumeSet` (round 5, ≙ NanoVDB's index-tree + 8³ leaves,
+  `PTVolume.cpp:47-105`): a two-level layout — a dense int32 INDEX grid at
+  8³-brick granularity plus a stack of occupied 9³ apron bricks (one voxel
+  of overlap so trilinear sampling never needs a second brick fetch).
+  Memory ∝ occupancy; sampling is two chained gathers (index → brick),
+  still branch-free and differentiable w.r.t. the brick stack. Real
+  `.nvdb` assets load via `volume.nvdb.load_nvdb` (pure-python parser for
+  the NanoVDB v29.3 serialization the reference vendors).
 """
 from __future__ import annotations
 
@@ -60,10 +68,132 @@ def make_volume_set(
     )
 
 
-def sample_density(vol: VolumeSet, v_idx: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+BRICK = 8  # sparse brick edge (≙ NanoVDB leaf LOG2DIM=3)
+
+
+@flax.struct.dataclass
+class SparseVolumeSet:
+    """V sparse grids sharing one brick stack (two-level index + 9³ bricks).
+
+    index:  (V, NX, NY, NZ) int32 — brick slot per 8³ cell; slot 0 is the
+            shared all-zero brick (empty space), so empty lookups stay
+            branch-free. Logical resolution = index res × 8 (+1 sample row).
+    bricks: (S, 9, 9, 9) f32 — occupied bricks with a +1 apron duplicated
+            from the neighbour so trilinear needs exactly ONE brick fetch.
+    ≙ NanoVDB index tree + leaf arrays (`PTVolume.cpp:47-105`); the fixed
+    two-level shape replaces the 4-level tree — a dense int32 index is tiny
+    (64³ ints for a 512³ grid) and keeps the inner loop at two gathers.
+    """
+
+    index: jnp.ndarray
+    bricks: jnp.ndarray
+    aabb_lo: jnp.ndarray
+    aabb_hi: jnp.ndarray
+    sigma_t: jnp.ndarray
+    albedo: jnp.ndarray
+    # true sample-grid resolution (pre-padding); the world box spans
+    # sample indices [0, res-1] exactly like the dense VolumeSet
+    res: Tuple[int, int, int] = flax.struct.field(pytree_node=False,
+                                                  default=(0, 0, 0))
+
+    @property
+    def count(self) -> int:
+        return self.index.shape[0]
+
+
+def build_sparse(densities, aabb_lo, aabb_hi, sigma_t=None, albedo=None,
+                 threshold: float = 0.0) -> SparseVolumeSet:
+    """Build a SparseVolumeSet from host dense grids (list of (X,Y,Z)).
+
+    Bricks whose 9³ apron view is entirely <= threshold collapse into the
+    shared zero brick; memory ∝ occupancy. Sampling matches the dense
+    `VolumeSet` path bit-for-bit on the shared domain (tested)."""
+    densities = [np.asarray(d, np.float32) for d in densities]
+    v = len(densities)
+    shp = densities[0].shape
+    assert all(d.shape == shp for d in densities), "shared resolution only"
+    nb = [max(1, -(-(s - 1) // BRICK)) for s in shp]
+    index = np.zeros((v,) + tuple(nb), np.int32)
+    bricks = [np.zeros((BRICK + 1,) * 3, np.float32)]  # slot 0 = empty
+    for vi, d in enumerate(densities):
+        # pad so every brick has a full 9^3 apron view (edge-clamped)
+        pad = [(0, nbk * BRICK + 1 - s) for nbk, s in zip(nb, shp)]
+        dp = np.pad(d, pad, mode="edge")
+        for bx in range(nb[0]):
+            for by in range(nb[1]):
+                for bz in range(nb[2]):
+                    blk = dp[bx * BRICK:bx * BRICK + BRICK + 1,
+                             by * BRICK:by * BRICK + BRICK + 1,
+                             bz * BRICK:bz * BRICK + BRICK + 1]
+                    if np.any(blk > threshold):
+                        index[vi, bx, by, bz] = len(bricks)
+                        bricks.append(blk.astype(np.float32))
+    return SparseVolumeSet(
+        index=jnp.asarray(index),
+        bricks=jnp.asarray(np.stack(bricks)),
+        aabb_lo=jnp.asarray(np.asarray(aabb_lo, np.float32).reshape(v, 3)),
+        aabb_hi=jnp.asarray(np.asarray(aabb_hi, np.float32).reshape(v, 3)),
+        sigma_t=jnp.asarray(
+            np.full(v, 1.0, np.float32) if sigma_t is None
+            else np.asarray(sigma_t, np.float32)),
+        albedo=jnp.asarray(
+            np.full(v, 0.9, np.float32) if albedo is None
+            else np.asarray(albedo, np.float32)),
+        res=tuple(int(s) for s in shp),
+    )
+
+
+def _sample_density_sparse(vol: SparseVolumeSet, v_idx, pos) -> jnp.ndarray:
+    """Trilinear density via index-gather → apron-brick gather."""
+    lo = vol.aabb_lo[v_idx]
+    hi = vol.aabb_hi[v_idx]
+    nx, ny, nz = vol.index.shape[1:]
+    x, y, z = vol.res
+    res = jnp.array([x, y, z], jnp.float32)
+    q = (pos - lo) / jnp.maximum(hi - lo, 1e-12)
+    inside = jnp.all((q >= 0.0) & (q <= 1.0), axis=-1)
+    g = q * (res - 1.0)
+    g0 = jnp.floor(g).astype(jnp.int32)
+    f = g - g0.astype(jnp.float32)
+    g0 = jnp.clip(g0, 0, jnp.array([x - 2, y - 2, z - 2]))
+    b = jnp.minimum(g0 // BRICK, jnp.array([nx - 1, ny - 1, nz - 1]))
+    slot = vol.index[v_idx, b[..., 0], b[..., 1], b[..., 2]]
+    l0 = g0 - b * BRICK                      # 0..7 within the brick
+
+    def fetch(dx, dy, dz):
+        return vol.bricks[
+            slot, l0[..., 0] + dx, l0[..., 1] + dy, l0[..., 2] + dz
+        ]
+
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+    c00 = fetch(0, 0, 0) * (1 - fx) + fetch(1, 0, 0) * fx
+    c10 = fetch(0, 1, 0) * (1 - fx) + fetch(1, 1, 0) * fx
+    c01 = fetch(0, 0, 1) * (1 - fx) + fetch(1, 0, 1) * fx
+    c11 = fetch(0, 1, 1) * (1 - fx) + fetch(1, 1, 1) * fx
+    c0 = c00 * (1 - fy) + c10 * fy
+    c1 = c01 * (1 - fy) + c11 * fy
+    d = c0 * (1 - fz) + c1 * fz
+    return jnp.where(inside, jnp.maximum(d, 0.0), 0.0)
+
+
+def density_majorant(vol) -> jnp.ndarray:
+    """(V,) max density per volume (ratio-tracking majorant; ≙ NanoVDB
+    per-grid maxima)."""
+    if isinstance(vol, SparseVolumeSet):
+        m = jnp.max(vol.bricks.reshape(vol.bricks.shape[0], -1), axis=1)
+        nb = vol.index.shape[1] * vol.index.shape[2] * vol.index.shape[3]
+        per_cell = m[vol.index.reshape(vol.count, nb)]
+        return jnp.max(per_cell, axis=1)
+    return jnp.max(vol.density.reshape(vol.density.shape[0], -1), axis=1)
+
+
+def sample_density(vol, v_idx: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
     """Trilinear density at world pos (...,3) in volume v_idx (...,).
     Outside the box → 0. Replaces NanoVDB `ReadAccessor` sampling
-    (`Shaders/volumetric_wavefront.cu`)."""
+    (`Shaders/volumetric_wavefront.cu`). Dispatches statically on the
+    volume-set layout (dense brick vs sparse index+bricks)."""
+    if isinstance(vol, SparseVolumeSet):
+        return _sample_density_sparse(vol, v_idx, pos)
     lo = vol.aabb_lo[v_idx]
     hi = vol.aabb_hi[v_idx]
     x, y, z = vol.density.shape[1:]

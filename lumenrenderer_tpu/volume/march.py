@@ -172,7 +172,7 @@ def _transmittance_ratio(vols, o, d, t_min, t_max, key, max_events: int = 64):
     trans = jnp.ones((r,), jnp.float32)
     # per-volume majorant: max grid density * sigma_t (NanoVDB grids carry
     # per-node maxima; dense grids take the global max)
-    maj_all = jnp.max(vols.density.reshape(vols.density.shape[0], -1), axis=1)
+    maj_all = grid_mod.density_majorant(vols)
     for v in range(vols.count):
         vkey = jax.random.fold_in(key, v)
         vidx = jnp.full((r,), v, jnp.int32)

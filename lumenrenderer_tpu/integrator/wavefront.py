@@ -441,7 +441,8 @@ def render_wavefront(
         if use_restir_here:
             # ≙ ReSTIR::Run at depth 0 → DIRECT channel
             restir_out, new_restir_state = restir_fn(
-                scene, sd, wo, hit_mask, aovs["motion"], restir_state, dkey
+                scene, sd, wo, hit_mask, aovs["motion"], restir_state, dkey,
+                occlude_fn=occlude_fn,
             )
             direct = direct + throughput * restir_out
         elif do_nee:

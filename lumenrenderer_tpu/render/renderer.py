@@ -102,7 +102,8 @@ class Renderer:
         if mesh is not None:
             from ..parallel import shard as shard_mod
 
-            assert dynamic is None, "dynamic+mesh not supported yet"
+            assert dynamic is None or accel == "tiled", (
+                "dynamic+mesh needs accel='tiled'")
             assert config.height % mesh.size == 0, (
                 f"height {config.height} must divide the mesh ({mesh.size})")
             # scene/BVH replicated on every device; per-pixel state shards
@@ -114,7 +115,11 @@ class Renderer:
         if dynamic is not None:
             assert accel in ("tiled", "two_level"), (
                 "dynamic scenes require accel='tiled' or 'two_level'")
-            assert not config.use_restir, "dynamic+ReSTIR not supported yet"
+            # dynamic+ReSTIR works since round 5: the reservoir visibility
+            # passes thread the CURRENT frame's occluder (RestirDI.__call__
+            # occlude_fn override) so reuse tests against rebaked geometry,
+            # exactly like the reference re-tracing against the rebuilt IAS
+            # every dirty frame (PTScene.cpp:77-160)
         if use_pallas == "auto":
             # the fused Pallas visit kernel is the TPU fast path; XLA scan
             # elsewhere (Pallas interpret mode is slow on CPU)
@@ -274,14 +279,23 @@ class Renderer:
             nsh = mesh.size
             n_local = cfg.num_pixels // nsh
 
-            def step_local(st, camera, scene_):
+            def step_local(st, camera, scene_, clusters_=None):
                 shard_i = jax.lax.axis_index(TILE_AXIS)
                 pix = shard_i * n_local + jnp.arange(n_local, dtype=jnp.int32)
                 key, sub = jax.random.split(st.key)
                 # decorrelate shards (key itself stays replicated)
                 sub = jax.random.fold_in(sub, shard_i)
+                if clusters_ is not None:
+                    # dynamic+mesh: rebaked clusters ride as a replicated
+                    # arg; the accel refreshes without retrace on any chip
+                    from ..accel import tiled as tiled_mod
+
+                    isect_, occl_ = tiled_mod.tiled_intersectors(
+                        clusters_, **self._tiled_opts)
+                else:
+                    isect_, occl_ = isect, occl
                 out = wavefront.render_wavefront(
-                    scene_, isect, occl, camera, sub, st.frame_index, cfg,
+                    scene_, isect_, occl_, camera, sub, st.frame_index, cfg,
                     restir_state=st.restir, restir_fn=restir_fn,
                     pixel_ids=pix,
                 )
@@ -330,15 +344,27 @@ class Renderer:
             if cfg.debug_checks:
                 aux_spec["debug_first_bad"] = P()
 
-            def step(st, camera, scene_):
-                cam_sp = jax.tree_util.tree_map(lambda _: P(), camera)
-                scn_sp = jax.tree_util.tree_map(lambda _: P(), scene_)
-                return shard_map(
-                    step_local, mesh=mesh,
-                    in_specs=(state_spec, cam_sp, scn_sp),
-                    out_specs=(state_spec, aux_spec),
-                    check_rep=False,
-                )(st, camera, scene_)
+            if dynamic is None:
+                def step(st, camera, scene_):
+                    cam_sp = jax.tree_util.tree_map(lambda _: P(), camera)
+                    scn_sp = jax.tree_util.tree_map(lambda _: P(), scene_)
+                    return shard_map(
+                        step_local, mesh=mesh,
+                        in_specs=(state_spec, cam_sp, scn_sp),
+                        out_specs=(state_spec, aux_spec),
+                        check_rep=False,
+                    )(st, camera, scene_)
+            else:
+                def step(st, camera, scene_, clusters_):
+                    cam_sp = jax.tree_util.tree_map(lambda _: P(), camera)
+                    scn_sp = jax.tree_util.tree_map(lambda _: P(), scene_)
+                    cls_sp = jax.tree_util.tree_map(lambda _: P(), clusters_)
+                    return shard_map(
+                        step_local, mesh=mesh,
+                        in_specs=(state_spec, cam_sp, scn_sp, cls_sp),
+                        out_specs=(state_spec, aux_spec),
+                        check_rep=False,
+                    )(st, camera, scene_, clusters_)
 
             self._step = jax.jit(step, donate_argnums=(0,) if donate else ())
         elif dynamic is None:
@@ -372,6 +398,52 @@ class Renderer:
             self._step = jax.jit(
                 step, donate_argnums=(0,) if donate else ())
 
+        # drift baseline for dynamic refits (cheap: one host reduce at init)
+        self._cluster_area0 = (
+            self._cluster_area(self.clusters)
+            if getattr(self, "clusters", None) is not None
+            and dynamic is not None else 0.0)
+
+    # -- cluster drift (dynamic scenes) -------------------------------------
+
+    @staticmethod
+    def _cluster_area(cs) -> float:
+        import numpy as _np
+
+        ext = _np.maximum(
+            _np.asarray(cs.aabb_hi) - _np.asarray(cs.aabb_lo), 0.0)
+        return float((ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2]
+                      + ext[:, 0] * ext[:, 2]).sum())
+
+    def cluster_drift(self) -> float:
+        """Refit-quality metric for dynamic scenes: total cluster-AABB
+        surface area now / at build. Membership is frozen at build, so
+        instances travelling far inflate their clusters' boxes — admission
+        (and frame time) degrades in proportion. ~1.0 = pristine; the
+        reference sidesteps this by rebuilding its IAS every dirty frame
+        (PTScene.cpp:77-160); here a full rebuild = constructing a new
+        Renderer."""
+        if self.clusters is None or self._cluster_area0 <= 0.0:
+            return 1.0
+        return self._cluster_area(self.clusters) / self._cluster_area0
+
+    DRIFT_REBUILD_RATIO = 2.0
+
+    def _check_cluster_drift(self):
+        # one tiny D2H per REBAKE frame (not per frame) — the advisory is
+        # worthless if it can't see current boxes
+        if self.clusters is None:
+            return
+        drift = self.cluster_drift()
+        self._last_drift = drift
+        if drift > self.DRIFT_REBUILD_RATIO:
+            from ..utils import log as log_mod
+
+            log_mod.core().warning(
+                "cluster drift %.2fx exceeds %.1fx: refit quality degraded; "
+                "rebuild the Renderer (fresh cluster membership) for these "
+                "instance positions", drift, self.DRIFT_REBUILD_RATIO)
+
     # -- public API ---------------------------------------------------------
 
     def init_state(self, seed: int = 0) -> state_mod.FrameState:
@@ -402,6 +474,7 @@ class Renderer:
                     # refit
                     self.scene, self.clusters = self._dynamic.rebake(
                         self.scene, self.clusters)
+                    self._check_cluster_drift()
                 new_st, aux = self._step(st, camera, self.scene, self.clusters)
         else:
             new_st, aux = self._step(st, camera, self.scene)
@@ -422,6 +495,8 @@ class Renderer:
             "Total Frame Time": (time.perf_counter() - t0) * 1e3,
             "Frame": self._frames_done,
         }
+        if getattr(self, "_last_drift", None) is not None:
+            self.frame_stats["cluster_drift"] = self._last_drift
         # per-frame per-stage visibility (≙ the reference's FrameStats map):
         # refresh the sampled per-stage probe every N frames, merge always
         if self._stats_every > 0:

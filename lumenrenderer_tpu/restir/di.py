@@ -506,8 +506,12 @@ class RestirDI:
     def init_state(self, n: int) -> RestirState:
         return init_state(n)
 
-    def __call__(self, scene, sd, wo, hit_mask, motion, state: RestirState, key):
+    def __call__(self, scene, sd, wo, hit_mask, motion, state: RestirState,
+                 key, occlude_fn=None):
         cfg = self.cfg
+        # dynamic scenes thread the CURRENT frame's occluder (rebaked
+        # clusters); the bound one is the static-scene default
+        occl = occlude_fn if occlude_fn is not None else self.occlude_fn
         k_bag, k_ris, k_t, k_s, k_v1, k_v2 = jax.random.split(key, 6)
         # dense differentiable radiance once per frame: every pass below
         # gathers from it instead of re-deriving per-sample (round-2's
@@ -526,7 +530,7 @@ class RestirDI:
             # which is exactly the accepted bias of this mode. Unbiased mode
             # skips it (visibility is applied only at final shading, and the
             # combine's Z-denominator handles stream mismatch).
-            res = visibility_pass(scene, sd, res, self.occlude_fn, hit_mask,
+            res = visibility_pass(scene, sd, res, occl, hit_mask,
                                   rad_all=rad_all)
         if state is not None:
             res = temporal_pass(
@@ -542,7 +546,7 @@ class RestirDI:
         # keep it correct for newly-imported samples via one check). The
         # participating-media transmittance rides the same pass
         # (≙ volumetric shadow rays, WaveFrontRenderer.cpp:858-871).
-        res_final = visibility_pass(scene, sd, res, self.occlude_fn, hit_mask,
+        res_final = visibility_pass(scene, sd, res, occl, hit_mask,
                                     rad_all=rad_all)
         color = shade(scene, sd, wo, res_final, self.eval_f, hit_mask,
                       rad_all=rad_all)

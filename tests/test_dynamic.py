@@ -123,3 +123,84 @@ def test_rebake_matches_fresh_host_build():
                                np.asarray(ref.tri_pos), atol=1e-4)
     np.testing.assert_allclose(np.asarray(sc3.lights.packed),
                                np.asarray(ref.lights.packed), atol=1e-4)
+
+
+def test_dynamic_with_restir_tracks_motion():
+    """dynamic+ReSTIR (round 5, un-fenced): reservoir visibility threads the
+    rebaked occluder, so reuse tests against CURRENT geometry (≙ the
+    reference running ReSTIR against the freshly rebuilt IAS every dirty
+    frame, PTScene.cpp:77-160 + ReSTIR.cpp:65-233)."""
+    from lumenrenderer_tpu.restir.di import RestirConfig
+
+    rcfg = RestirConfig(candidates=8, num_bags=4, bag_size=64,
+                        spatial_samples=2, spatial_iterations=1)
+    cfg = RenderConfig(width=32, height=32, max_depth=2, bsdf="lambert",
+                       light_strategy="nee", rr_start_depth=99,
+                       jitter="center", sort_secondary=False,
+                       use_restir=True)
+    dyn = DynamicScene(_scene())
+    sc = dyn.build()
+    cam = Camera.look_at(eye=(0, 0, 6), target=(0, 0, 0), fov_y_deg=40.0)
+    r = Renderer(sc, cfg, accel="tiled", use_pallas=False, dynamic=dyn,
+                 donate=False, restir_config=rcfg)
+    st = r.init_state(0)
+    st, aux0 = r.render_frame(st, cam)
+    d0 = np.asarray(aux0["depth"]).reshape(32, 32)
+    dyn.transform(0).translation = (1.5, 0.0, 0.0)
+    st, aux1 = r.render_frame(st, cam)
+    d1 = np.asarray(aux1["depth"]).reshape(32, 32)
+    assert r._step._cache_size() == 1          # no retrace on rebake
+    assert d0[16, 16] > 0.0 and d1[16, 16] == 0.0
+    assert np.isfinite(np.asarray(st.accum)).all()
+    # drift metric recorded on the rebake frame; small translation ->
+    # bounded inflation, no rebuild advisory
+    assert "cluster_drift" in r.frame_stats
+    assert 1.0 <= r.frame_stats["cluster_drift"] < r.DRIFT_REBUILD_RATIO
+
+
+def test_dynamic_under_mesh_matches_single_device():
+    """dynamic+mesh (round 5, un-fenced): the rebaked clusters ride as a
+    replicated shard_map arg; every chip traces the moved geometry."""
+    from lumenrenderer_tpu.parallel import shard
+
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 virtual devices")
+    cfg = RenderConfig(width=32, height=32, max_depth=2, bsdf="lambert",
+                       light_strategy="nee", rr_start_depth=99,
+                       jitter="center", sort_secondary=False)
+    cam = Camera.look_at(eye=(0, 0, 6), target=(0, 0, 0), fov_y_deg=40.0)
+
+    def render_moved(mesh):
+        dyn = DynamicScene(_scene())
+        sc = dyn.build()
+        r = Renderer(sc, cfg, accel="tiled", use_pallas=False, dynamic=dyn,
+                     donate=False, mesh=mesh)
+        st = r.init_state(0)
+        st, _ = r.render_frame(st, cam)
+        dyn.transform(0).translation = (1.5, 0.0, 0.0)
+        st, aux = r.render_frame(st, cam)
+        return np.asarray(aux["depth"]).reshape(32, 32)
+
+    d_single = render_moved(None)
+    d_mesh = render_moved(shard.make_mesh(jax.devices()[:8]))
+    # depth is deterministic under jitter="center": sharded == single device
+    np.testing.assert_allclose(d_mesh, d_single, atol=1e-5)
+    assert d_mesh[16, 16] == 0.0 and d_mesh[16, 24:].max() > 0.0
+
+
+def test_cluster_drift_advises_rebuild_on_large_excursion():
+    dyn = DynamicScene(_scene())
+    sc = dyn.build()
+    cam = Camera.look_at(eye=(0, 0, 6), target=(0, 0, 0), fov_y_deg=40.0)
+    cfg = RenderConfig(width=16, height=16, max_depth=2, bsdf="lambert",
+                       light_strategy="nee", rr_start_depth=99,
+                       jitter="center", sort_secondary=False)
+    r = Renderer(sc, cfg, accel="tiled", use_pallas=False, dynamic=dyn,
+                 donate=False)
+    st = r.init_state(0)
+    st, _ = r.render_frame(st, cam)
+    # fling the box far away: frozen cluster membership must inflate boxes
+    dyn.transform(0).translation = (40.0, 0.0, 0.0)
+    st, _ = r.render_frame(st, cam)
+    assert r.frame_stats["cluster_drift"] > r.DRIFT_REBUILD_RATIO

@@ -52,6 +52,7 @@ class Renderer:
         mesh=None,
         stats_every: int = 0,
         builder=None,
+        reset_on_camera_move: bool = True,
     ):
         """dynamic: optional `scene.dynamic.DynamicScene` — threads the scene
         AND cluster set through the jitted step as arguments so instance-
@@ -99,6 +100,8 @@ class Renderer:
         self._mesh = mesh
         self._stats_every = int(stats_every)
         self._stage_stats: Dict[str, float] = {}
+        self._reset_on_camera_move = bool(reset_on_camera_move)
+        self._prev_cam_sig = None
         if mesh is not None:
             from ..parallel import shard as shard_mod
 
@@ -231,9 +234,12 @@ class Renderer:
                 restir_config or RestirConfig(),
                 config.width,
                 # under a mesh each shard owns height/mesh.size rows; the
-                # reservoir grid is that local slice (spatial reuse clamps
-                # at shard edges — documented edge effect)
+                # reservoir grid is that local slice, and spatial reuse
+                # halo-exchanges a spatial_radius band with the neighbour
+                # shards each iteration (round 5, no seam clamping)
                 config.height // (mesh.size if mesh is not None else 1),
+                halo=((shard_mod.TILE_AXIS, mesh.size)
+                      if mesh is not None else None),
             )
         self._restir_fn = restir_fn
 
@@ -458,8 +464,21 @@ class Renderer:
         return st
 
     def render_frame(self, st, camera):
-        """One progressive frame. Returns (new_state, aux AOV dict)."""
+        """One progressive frame. Returns (new_state, aux AOV dict).
+
+        Progressive accumulation resets when the camera moves (≙ the
+        reference's a_FrameCount=0 blend restart on input,
+        Sandbox/src/OutputLayer.cpp:519,559); disable with
+        reset_on_camera_move=False (e.g. fixed-camera benchmarks, where the
+        per-frame host compare is pure overhead)."""
         t0 = time.perf_counter()
+        if self._reset_on_camera_move:
+            sig = tuple(
+                np.asarray(x).tobytes()
+                for x in (camera.eye, camera.u, camera.v, camera.w))
+            if self._prev_cam_sig is not None and sig != self._prev_cam_sig:
+                st = state_mod.reset_accumulation(st)
+            self._prev_cam_sig = sig
         if self._dynamic is not None:
             if self.accel_kind == "two_level":
                 if self._dynamic.dirty:

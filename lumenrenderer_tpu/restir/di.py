@@ -370,7 +370,7 @@ def sd_depth(sd):
 
 
 def spatial_pass(scene, sd, res, hit_mask, cfg, width, height, key,
-                 rad_all=None):
+                 rad_all=None, halo=None):
     """`spatial_iterations` rounds of `spatial_samples` random neighbours in
     `spatial_radius`, combine with similarity gates.
     ≙ SpatialNeighbourSampling (`ReSTIRKernels.cu:745-980`) — the ping-pong
@@ -378,33 +378,76 @@ def spatial_pass(scene, sd, res, hit_mask, cfg, width, height, key,
     vectorized to ONE (N,S) batch per iteration (all neighbour reservoirs
     gathered at once, all target pdfs in one broadcast evaluation).
     cfg.biased=False re-evaluates the winner at every contributing
-    neighbour's surface (≙ CombineUnbiased, `ReSTIRKernels.cu:1123-1199`)."""
-    n = res.m.shape[0]
+    neighbour's surface (≙ CombineUnbiased, `ReSTIRKernels.cu:1123-1199`).
+
+    halo=(axis_name, n_shards): row-sharded execution under shard_map
+    (round 5, VERDICT #10). Each iteration exchanges a `spatial_radius`-row
+    band of gbuffer + CURRENT reservoirs with the neighbouring shards (two
+    `lax.ppermute`s per array) so seam rows see their full two-sided
+    neighbourhood instead of clamping at the shard edge; edge shards
+    receive zero bands (hit_mask False) which the gates discard — exactly
+    the true-image-border behaviour. ≙ spatial reuse radius 30px
+    (`ReSTIRKernels.cu:745-980`) which assumes one unpartitioned screen."""
     s = cfg.spatial_samples
+    if halo is not None:
+        axis, nsh = halo
+        band = min(cfg.spatial_radius, height)
+
+        def ext(x):
+            img = x.reshape((height, width) + x.shape[1:])
+            top = jax.lax.ppermute(
+                img[height - band:], axis,
+                [(j, j + 1) for j in range(nsh - 1)])
+            bot = jax.lax.ppermute(
+                img[:band], axis, [(j, j - 1) for j in range(1, nsh)])
+            return jnp.concatenate([top, img, bot], axis=0).reshape(
+                (-1,) + x.shape[1:])
+
+        def interior(x):
+            img = x.reshape((h_ext, width) + x.shape[1:])
+            return img[band:band + height].reshape((-1,) + x.shape[1:])
+
+        h_ext = height + 2 * band
+        pos = ext(sd.position)
+        nrm = ext(sd.normal)
+        alb = ext(sd.base_color)
+        hit = ext(hit_mask)
+    else:
+        ext = interior = lambda x: x
+        h_ext = height
+        pos, nrm, alb, hit = sd.position, sd.normal, sd.base_color, hit_mask
+    n = width * h_ext
     px = (jnp.arange(n) % width).astype(jnp.int32)
     py = (jnp.arange(n) // width).astype(jnp.int32)
-    depth_here = sd_depth(sd)
-    alb_lum = vm.luminance(sd.base_color)
+    depth_here = vm.length(pos)
+    alb_lum = vm.luminance(alb)
+    import types as _types
+
+    sd_here = _types.SimpleNamespace(position=pos, normal=nrm,
+                                     base_color=alb)
 
     for it in range(cfg.spatial_iterations):
         kit = jax.random.fold_in(key, it)
-        src = res  # snapshot: neighbours come from the previous iteration's
-        # buffer, matching the reference's ping-pong pair (ReSTIR.cpp:264-274)
+        # snapshot: neighbours come from the previous iteration's buffer,
+        # matching the reference's ping-pong pair (ReSTIR.cpp:264-274);
+        # halo mode refreshes the band from the neighbour shard's UPDATED
+        # interior before every iteration
+        src = jax.tree_util.tree_map(ext, res)
         k1, k2, k3 = jax.random.split(kit, 3)
         ang = jax.random.uniform(k1, (n, s)) * 2 * jnp.pi
         rad = jnp.sqrt(jax.random.uniform(k2, (n, s))) * cfg.spatial_radius
         nx = jnp.clip(px[:, None] + (jnp.cos(ang) * rad).astype(jnp.int32),
                       0, width - 1)
         ny = jnp.clip(py[:, None] + (jnp.sin(ang) * rad).astype(jnp.int32),
-                      0, height - 1)
+                      0, h_ext - 1)
         ni = ny * width + nx                                   # (N,S)
         nb = jax.tree_util.tree_map(lambda a: a[ni], src)      # (N,S,...)
         d_ok = jnp.abs(depth_here[ni] - depth_here[:, None]) <= (
             cfg.depth_gate * jnp.maximum(depth_here[:, None], 1e-3)
         )
-        n_ok = vm.dot(sd.normal[ni], sd.normal[:, None, :]) >= cfg.normal_gate
-        ok = d_ok & n_ok & hit_mask[:, None] & hit_mask[ni]    # (N,S)
-        phat_nb, _, _ = _target_phat(scene, sd, nb.light_idx, nb.bary,
+        n_ok = vm.dot(nrm[ni], nrm[:, None, :]) >= cfg.normal_gate
+        ok = d_ok & n_ok & hit[:, None] & hit[ni]              # (N,S)
+        phat_nb, _, _ = _target_phat(scene, sd_here, nb.light_idx, nb.bary,
                                      rad_all=rad_all)
         phat_nb = jnp.where(ok, phat_nb, 0.0)
         w_nb = jnp.where(ok, phat_nb * nb.w_out * nb.m, 0.0)   # (N,S)
@@ -438,12 +481,12 @@ def spatial_pass(scene, sd, res, hit_mask, cfg, width, height, key,
             # winner's target pdf is nonzero — one more broadcast evaluation
             # of the winner at the S neighbour surfaces
             phat_win_at_nb, _, _ = _target_phat(
-                scene, sd,
+                scene, sd_here,
                 jnp.broadcast_to(best_light[:, None], (n, s)),
                 jnp.broadcast_to(best_bary[:, None, :], (n, s, 2)),
                 rad_all=rad_all,
-                at_position=sd.position[ni],
-                at_normal=sd.normal[ni],
+                at_position=pos[ni],
+                at_normal=nrm[ni],
                 at_albedo_lum=alb_lum[ni],
             )
             denom_m = src.m * (best_phat > 0) + jnp.sum(
@@ -454,14 +497,14 @@ def spatial_pass(scene, sd, res, hit_mask, cfg, width, height, key,
             w_sum / (jnp.maximum(denom_m, 1e-6) * jnp.maximum(best_phat, 1e-20)),
             0.0,
         )
-        res = Reservoir(
+        res = jax.tree_util.tree_map(interior, Reservoir(
             light_idx=best_light,
             bary=best_bary,
             w_sum=w_sum,
             m=m_tot,
             w_out=w_out,
             p_hat=best_phat,
-        )
+        ))
     return res
 
 
@@ -496,12 +539,16 @@ class RestirDI:
     Invoked from the wavefront loop at depth 0 (≙ `Shade`'s depth-0 branch,
     `CPUShadingKernels.cu:128-148`)."""
 
-    def __init__(self, occlude_fn, eval_f, cfg: RestirConfig, width: int, height: int):
+    def __init__(self, occlude_fn, eval_f, cfg: RestirConfig, width: int,
+                 height: int, halo=None):
+        """halo=(axis_name, n_shards): under a row-sharded mesh, spatial
+        reuse halo-exchanges its seam bands (see spatial_pass)."""
         self.occlude_fn = occlude_fn
         self.eval_f = eval_f
         self.cfg = cfg
         self.width = width
         self.height = height
+        self.halo = halo
 
     def init_state(self, n: int) -> RestirState:
         return init_state(n)
@@ -539,7 +586,7 @@ class RestirDI:
             )
         res = spatial_pass(
             scene, sd, res, hit_mask, cfg, self.width, self.height, k_s,
-            rad_all=rad_all,
+            rad_all=rad_all, halo=self.halo,
         )
         # final visibility on the post-reuse winner (biased mode shades
         # without it in the reference; we match the reference default but

@@ -202,3 +202,82 @@ def test_distributed_initialize_noop_single_process():
     assert distributed.initialize() is False  # single process: no-op
     info = distributed.process_info()
     assert info["process_count"] == 1
+
+
+def test_restir_spatial_halo_fixes_seam_bias():
+    """Sharded spatial reuse with halo exchange (round 5, VERDICT #10):
+    per-row reservoir statistics at shard-seam rows match the full-grid
+    single-device pass, while the clamped (no-halo) variant is measurably
+    biased there. Signal: reservoir w_out ramps with GLOBAL row, so a
+    one-sided (clamped) neighbourhood shifts seam rows' picked weights.
+    ≙ spatial reuse radius 30px over one unpartitioned screen,
+    ReSTIRKernels.cu:745-980."""
+    import types
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from lumenrenderer_tpu.restir import di
+
+    W, H, NSH = 128, 64, 4
+    HL = H // NSH
+    sc, *_ = _setup()
+    cfg = di.RestirConfig(spatial_samples=8, spatial_radius=8,
+                          spatial_iterations=1, biased=True)
+    n = W * H
+    gy = (np.arange(n) // W).astype(np.float32)
+    gx = (np.arange(n) % W).astype(np.float32)
+    sd = types.SimpleNamespace(
+        position=jnp.stack([gx * 0.01, gy * 0.01, np.zeros(n, np.float32)],
+                           axis=-1),
+        normal=jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3)),
+        base_color=jnp.full((n, 3), 0.8),
+    )
+    hit = jnp.ones((n,), bool)
+    res = di.Reservoir(
+        light_idx=jnp.zeros((n,), jnp.int32),
+        bary=jnp.full((n, 2), 0.3),
+        w_sum=jnp.zeros((n,)),
+        m=jnp.ones((n,)),
+        w_out=jnp.asarray(1.0 + gy),        # strong global-row ramp
+        p_hat=jnp.ones((n,)),
+    )
+    key = jax.random.PRNGKey(7)
+
+    full = di.spatial_pass(sc, sd, res, hit, cfg, W, H, key)
+
+    mesh = shard.make_mesh(jax.devices()[:NSH])
+    spec_sd = types.SimpleNamespace  # local constructor inside shards
+
+    def sharded(halo):
+        def f(pos, nrm, alb, h, r):
+            sdl = spec_sd(position=pos, normal=nrm, base_color=alb)
+            return di.spatial_pass(
+                sc, sdl, r, h, cfg, W, HL, key,
+                halo=(shard.TILE_AXIS, NSH) if halo else None)
+        sh = P(shard.TILE_AXIS)
+        rspec = jax.tree_util.tree_map(lambda _: sh, res)
+        return shard_map(
+            f, mesh=mesh,
+            in_specs=(sh, sh, sh, sh, rspec), out_specs=rspec,
+            check_rep=False,
+        )(sd.position, sd.normal, sd.base_color, hit, res)
+
+    halo_out = sharded(True)
+    clamp_out = sharded(False)
+
+    def row_means(r):
+        return np.asarray(r.w_sum).reshape(H, W).mean(axis=1)
+
+    rm_full, rm_halo, rm_clamp = map(row_means, (full, halo_out, clamp_out))
+    seam = [HL - 1, HL, 2 * HL - 1, 2 * HL, 3 * HL - 1, 3 * HL]
+    err_halo = np.abs(rm_halo[seam] / rm_full[seam] - 1.0)
+    err_clamp = np.abs(rm_clamp[seam] / rm_full[seam] - 1.0)
+    # halo-exchanged seam rows match the unpartitioned pass to MC noise
+    assert err_halo.max() < 0.05, (err_halo, err_clamp)
+    # ...and the clamped variant is biased well beyond that noise there
+    assert err_clamp.max() > 2 * err_halo.max(), (err_halo, err_clamp)
+    # interior rows (away from seams AND the true image border) agree for
+    # both variants
+    interior = np.arange(8, H - 8)
+    interior = interior[~np.isin(interior, seam)]
+    assert np.abs(rm_halo[interior] / rm_full[interior] - 1.0).max() < 0.05

@@ -102,3 +102,33 @@ def test_profile_stages_fills_frame_stats():
               "ShadeDirect sample_light", "Total Frame Time"):
         assert k in stats and np.isfinite(stats[k]) and stats[k] >= 0.0, k
     assert r.get_last_frame_stats()["Total Frame Time"] == stats["Total Frame Time"]
+
+
+def test_blend_resets_on_camera_move():
+    """Progressive accumulation restarts when the camera moves (≙ the
+    reference's a_FrameCount=0 restart on input, OutputLayer.cpp:519,559);
+    a static camera keeps accumulating."""
+    from lumenrenderer_tpu.core.camera import Camera
+    from lumenrenderer_tpu.scene import presets
+
+    scene, camf = presets.cornell_box()
+    sc = scene.build()
+    cfg = RenderConfig(width=16, height=16, max_depth=2, bsdf="lambert",
+                       light_strategy="nee", rr_start_depth=99,
+                       sort_secondary=False)
+    r = Renderer(sc, cfg, accel="tiled", use_pallas=False, donate=False)
+    cam = camf(1.0)
+    st = r.init_state(0)
+    st, _ = r.render_frame(st, cam)
+    st, _ = r.render_frame(st, cam)
+    assert int(st.blend_count) == 2          # static camera accumulates
+    cam2 = Camera.look_at(eye=(0.1, 0.0, 2.5), target=(0, 0, 0),
+                          fov_y_deg=60.0)
+    st, _ = r.render_frame(st, cam2)
+    assert int(st.blend_count) == 1          # moved -> restarted
+    r2 = Renderer(sc, cfg, accel="tiled", use_pallas=False, donate=False,
+                  reset_on_camera_move=False)
+    st2 = r2.init_state(0)
+    st2, _ = r2.render_frame(st2, cam)
+    st2, _ = r2.render_frame(st2, cam2)
+    assert int(st2.blend_count) == 2         # opt-out keeps accumulating

@@ -47,6 +47,16 @@ class RestirConfig:
     candidates: int = 32          # primary samples per reservoir
     num_bags: int = 50
     bag_size: int = 1000
+    # TPU-native (round 5): ONE candidate set per bag_tile instead of per
+    # pixel — candidate light rows broadcast across the tile's pixels in a
+    # tile-major layout instead of 8.4M-row gathers (measured 300 -> ~60 ms
+    # at 512², tools/r5_restir_prof.py). Each pixel still runs its own RIS
+    # pick with its own target pdfs, so every reservoir stays a valid RIS
+    # estimator (unbiasedness needs candidates ~ bag distribution, not
+    # cross-pixel independence); cross-pixel noise inside a tile correlates,
+    # which fresh bags + temporal/spatial reuse decorrelate. False = the
+    # reference's per-pixel draws (ReSTIRKernels.cu:372-522).
+    tile_candidates: bool = True
     spatial_samples: int = 5
     spatial_radius: int = 30
     spatial_iterations: int = 2
@@ -139,7 +149,8 @@ def fill_light_bags(cdf: jnp.ndarray, cfg: RestirConfig, key) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def _target_phat(scene, sd, light_idx, bary, rad_all=None, detach_radiance=True,
-                 at_position=None, at_normal=None, at_albedo_lum=None):
+                 at_position=None, at_normal=None, at_albedo_lum=None,
+                 prow=None):
     """Unshadowed target p-hat in AREA measure at the pixel's surface:
     luminance(albedo/pi * L * cos_s * cos_l / d^2). ≙ the `Resample`
     re-evaluation (`ReSTIRKernels.cu:1259-1325`), with a Lambertian f
@@ -150,7 +161,10 @@ def _target_phat(scene, sd, light_idx, bary, rad_all=None, detach_radiance=True,
     ≙ CombineUnbiased `ReSTIRKernels.cu:1123-1199`)."""
     lights = scene.lights
     li = jnp.maximum(light_idx, 0)
-    prow = lights.packed[li]                       # ONE gather
+    if prow is None:
+        prow = lights.packed[li]                   # ONE gather
+    # (callers that already gathered the packed rows pass them in — the
+    # r5 ReSTIR profile showed this gather was ~45% of ris_primary)
     p = (
         prow[..., 0:3]
         + bary[..., 0:1] * prow[..., 3:6]
@@ -185,12 +199,89 @@ def _target_phat(scene, sd, light_idx, bary, rad_all=None, detach_radiance=True,
 # passes
 # ---------------------------------------------------------------------------
 
+def _ris_primary_tiled(scene, sd, bags, bag_pdf, cfg: RestirConfig, width,
+                       key, rad_all=None):
+    """Tile-candidate RIS (round 5, `RestirConfig.tile_candidates`): ONE
+    candidate set per bag_tile, pixels laid out tile-major so candidate
+    light rows BROADCAST across the tile instead of being gathered per
+    pixel (the per-pixel path's (N,C,16) packed-row gather was ~45% of
+    ris_primary at 512²). Every pixel still evaluates its own target pdfs
+    and runs its own categorical pick, so each reservoir remains a valid
+    per-pixel RIS estimator."""
+    n = sd.position.shape[0]
+    c = cfg.candidates
+    bt = cfg.bag_tile
+    height = n // width
+    ty, tx = height // bt, width // bt
+    t = ty * tx
+    p_tile = bt * bt
+    kb, kc, kp, kr = jax.random.split(key, 4)
+    bag_t = jax.random.randint(kb, (t,), 0, cfg.num_bags)
+    slot_t = jax.random.randint(kc, (t, c), 0, cfg.bag_size)
+    cand_light = bags[bag_t[:, None], slot_t][:, None, :]       # (T,1,C)
+    pdf_sel = bag_pdf[cand_light]                               # (T,1,C)
+    bs = jax.random.uniform(kp, (t, 1, c, 2))
+    su = jnp.sqrt(bs[..., 0])
+    bary = jnp.stack([1.0 - su, bs[..., 1] * su], axis=-1)      # (T,1,C,2)
+    prow = scene.lights.packed[jnp.maximum(cand_light, 0)]      # (T,1,C,16)
+    area = prow[..., 12]
+    p_cand = pdf_sel / jnp.maximum(area, 1e-12)
+
+    def to_tiles(x):
+        img = x.reshape((ty, bt, tx, bt) + x.shape[1:])
+        return jnp.moveaxis(img, 2, 1).reshape((t, p_tile) + x.shape[1:])
+
+    def from_tiles(x):
+        img = x.reshape((ty, tx, bt, bt) + x.shape[2:])
+        return jnp.moveaxis(img, 1, 2).reshape((n,) + x.shape[2:])
+
+    pos_t = to_tiles(sd.position)                               # (T,P,3)
+    nrm_t = to_tiles(sd.normal)
+    alb_t = to_tiles(vm.luminance(sd.base_color))               # (T,P)
+    phat, _, _ = _target_phat(
+        scene, None, cand_light, bary, rad_all=rad_all, prow=prow,
+        at_position=pos_t, at_normal=nrm_t, at_albedo_lum=alb_t,
+    )                                                           # (T,P,C)
+    w = jnp.where(p_cand > 0, phat / jnp.maximum(p_cand, 1e-20), 0.0)
+    w_sum = jnp.sum(w, axis=-1)                                 # (T,P)
+    u = jax.random.uniform(kr, (t, p_tile, 1))
+    cum = jnp.cumsum(w, axis=-1)
+    pick = jnp.sum((cum < u * w_sum[..., None]).astype(jnp.int32), axis=-1)
+    pick = jnp.clip(pick, 0, c - 1)
+
+    def take(a):  # a (T,1,C,...) candidate-major -> (T,P,...) per pixel
+        ab = jnp.broadcast_to(a, (t, p_tile) + a.shape[2:])
+        idx = pick.reshape(t, p_tile, *([1] * (a.ndim - 2)))
+        idx = jnp.broadcast_to(idx, (t, p_tile, 1) + a.shape[3:])
+        return jnp.take_along_axis(ab, idx, axis=2)[:, :, 0]
+
+    chosen_light = take(cand_light)
+    chosen_bary = take(bary)
+    chosen_phat = jnp.take_along_axis(phat, pick[..., None], axis=-1)[..., 0]
+    w_out = jnp.where(
+        chosen_phat > 0, w_sum / (c * jnp.maximum(chosen_phat, 1e-20)), 0.0
+    )
+    return Reservoir(
+        light_idx=from_tiles(chosen_light),
+        bary=from_tiles(chosen_bary),
+        w_sum=from_tiles(w_sum),
+        m=jnp.full((n,), float(c), jnp.float32),
+        w_out=from_tiles(w_out),
+        p_hat=from_tiles(chosen_phat),
+    )
+
+
 def ris_primary(scene, sd, bags, bag_pdf, cfg: RestirConfig, width, key,
                 rad_all=None):
     """Per-pixel RIS of `candidates` bag samples.
     ≙ PickPrimarySamples (`ReSTIRKernels.cu:372-522`)."""
     n = sd.position.shape[0]
     c = cfg.candidates
+    height = n // width
+    if (cfg.tile_candidates and width % cfg.bag_tile == 0
+            and height % cfg.bag_tile == 0 and n == width * height):
+        return _ris_primary_tiled(scene, sd, bags, bag_pdf, cfg, width, key,
+                                  rad_all=rad_all)
     # tile-coherent bag assignment
     px = jnp.arange(n, dtype=jnp.int32) % width
     py = jnp.arange(n, dtype=jnp.int32) // width
@@ -211,9 +302,11 @@ def ris_primary(scene, sd, bags, bag_pdf, cfg: RestirConfig, width, key,
     b2 = cand_bary_sqrt[..., 1] * su
     bary = jnp.stack([b1, b2], axis=-1)                  # (N,C,2) e1/e2 coords
 
-    area = scene.lights.packed[cand_light][..., 12]
+    prow_c = scene.lights.packed[jnp.maximum(cand_light, 0)]  # ONE (N,C,16)
+    area = prow_c[..., 12]
     p_cand = cand_pdf_sel / jnp.maximum(area, 1e-12)     # area-measure pdf
-    phat, _, _ = _target_phat(scene, sd, cand_light, bary, rad_all=rad_all)
+    phat, _, _ = _target_phat(scene, sd, cand_light, bary, rad_all=rad_all,
+                              prow=prow_c)
     w = jnp.where(p_cand > 0, phat / jnp.maximum(p_cand, 1e-20), 0.0)  # (N,C)
 
     # streaming reservoir update, vectorized over pixels via cumulative trick:
@@ -425,6 +518,13 @@ def spatial_pass(scene, sd, res, hit_mask, cfg, width, height, key,
 
     sd_here = _types.SimpleNamespace(position=pos, normal=nrm,
                                      base_color=alb)
+    # ONE packed neighbour row per gather (round 5 profile: six separate
+    # reservoir-leaf gathers + depth/normal/hit gathers were the pass cost
+    # driver): reservoir dynamics repack per iteration, gbuffer cols once
+    static_cols = [depth_here[:, None], nrm, hit.astype(jnp.float32)[:, None]]
+    if not cfg.biased:
+        static_cols += [pos, alb_lum[:, None]]
+    static_pack = jnp.concatenate(static_cols, axis=1)
 
     for it in range(cfg.spatial_iterations):
         kit = jax.random.fold_in(key, it)
@@ -433,6 +533,14 @@ def spatial_pass(scene, sd, res, hit_mask, cfg, width, height, key,
         # halo mode refreshes the band from the neighbour shard's UPDATED
         # interior before every iteration
         src = jax.tree_util.tree_map(ext, res)
+        packed = jnp.concatenate([
+            jax.lax.bitcast_convert_type(
+                src.light_idx, jnp.float32)[:, None],
+            src.bary,
+            src.w_out[:, None],
+            src.m[:, None],
+            static_pack,
+        ], axis=1)
         k1, k2, k3 = jax.random.split(kit, 3)
         ang = jax.random.uniform(k1, (n, s)) * 2 * jnp.pi
         rad = jnp.sqrt(jax.random.uniform(k2, (n, s))) * cfg.spatial_radius
@@ -441,12 +549,21 @@ def spatial_pass(scene, sd, res, hit_mask, cfg, width, height, key,
         ny = jnp.clip(py[:, None] + (jnp.sin(ang) * rad).astype(jnp.int32),
                       0, h_ext - 1)
         ni = ny * width + nx                                   # (N,S)
-        nb = jax.tree_util.tree_map(lambda a: a[ni], src)      # (N,S,...)
-        d_ok = jnp.abs(depth_here[ni] - depth_here[:, None]) <= (
+        nbp = packed[ni]                                       # (N,S,K) ONE
+        nb = _types.SimpleNamespace(
+            light_idx=jax.lax.bitcast_convert_type(nbp[..., 0], jnp.int32),
+            bary=nbp[..., 1:3],
+            w_out=nbp[..., 3],
+            m=nbp[..., 4],
+        )
+        d_nb = nbp[..., 5]
+        nrm_nb = nbp[..., 6:9]
+        hit_nb = nbp[..., 9] > 0.5
+        d_ok = jnp.abs(d_nb - depth_here[:, None]) <= (
             cfg.depth_gate * jnp.maximum(depth_here[:, None], 1e-3)
         )
-        n_ok = vm.dot(nrm[ni], nrm[:, None, :]) >= cfg.normal_gate
-        ok = d_ok & n_ok & hit[:, None] & hit[ni]              # (N,S)
+        n_ok = vm.dot(nrm_nb, nrm[:, None, :]) >= cfg.normal_gate
+        ok = d_ok & n_ok & hit[:, None] & hit_nb               # (N,S)
         phat_nb, _, _ = _target_phat(scene, sd_here, nb.light_idx, nb.bary,
                                      rad_all=rad_all)
         phat_nb = jnp.where(ok, phat_nb, 0.0)
@@ -485,9 +602,9 @@ def spatial_pass(scene, sd, res, hit_mask, cfg, width, height, key,
                 jnp.broadcast_to(best_light[:, None], (n, s)),
                 jnp.broadcast_to(best_bary[:, None, :], (n, s, 2)),
                 rad_all=rad_all,
-                at_position=pos[ni],
-                at_normal=nrm[ni],
-                at_albedo_lum=alb_lum[ni],
+                at_position=nbp[..., 10:13],
+                at_normal=nrm_nb,
+                at_albedo_lum=nbp[..., 13],
             )
             denom_m = src.m * (best_phat > 0) + jnp.sum(
                 m_nb * (jnp.where(ok, phat_win_at_nb, 0.0) > 0), axis=1

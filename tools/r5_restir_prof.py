@@ -73,3 +73,44 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+def vis_sorted_probe():
+    """Quick A/B: raw vs capsule-sorted occluder for the visibility pass."""
+    import numpy as np
+    scene, camf = presets.interior_scene(n_boxes=600, n_lights=256)
+    sc, cam = scene.build(), camf(1.0)
+    cfg = wf.RenderConfig(width=W, height=H, max_depth=5, bsdf="disney",
+                          light_strategy="nee", use_restir=True)
+    rcfg = di.RestirConfig()
+    cs = stream.build_clusters(sc.tri_pos, cluster_size=128)
+    isect, occl = tiled.tiled_intersectors(cs, max_visits=84, use_pallas=True,
+                                           candidate_dtype="high", decode=False)
+    lo = jnp.min(sc.tri_pos.reshape(-1, 3), axis=0)
+    hi = jnp.max(sc.tri_pos.reshape(-1, 3), axis=0)
+    _, s_occl = sorting_mod.sorted_intersectors(isect, occl, lo, hi)
+    key = jax.random.PRNGKey(0)
+    ro, rd = camera_mod.generate_primary_rays(cam, W, H, jnp.int32(0), key=key,
+                                              jitter="random")
+    tmin = jnp.float32(1e-3)
+    tmax = jnp.full((N,), 1e8, jnp.float32)
+    hits = jax.jit(lambda: isect(ro, rd, tmin, tmax))()
+    sd = jax.jit(lambda: surface_mod.extract_surface_data(
+        sc, ro, rd, hits["t"], hits["tri"], hits["u"], hits["v"]))()
+    hit_mask = jnp.isfinite(hits["t"])
+    from lumenrenderer_tpu.integrator import nee as nee_mod
+    rad_all = jax.jit(lambda: nee_mod.all_light_radiance(sc))()
+    cdf, pdf = jax.jit(lambda: di.build_light_cdf(sc, rad_all))()
+    bags = jax.jit(lambda: di.fill_light_bags(cdf, rcfg, key))()
+    res0 = jax.jit(lambda: di.ris_primary(sc, sd, bags, pdf, rcfg, W, key,
+                                          rad_all=rad_all))()
+    a = timeit("visibility (raw occl)", jax.jit(
+        lambda: di.visibility_pass(sc, sd, res0, occl, hit_mask, rad_all=rad_all)))
+    b = timeit("visibility (capsule-sorted occl)", jax.jit(
+        lambda: di.visibility_pass(sc, sd, res0, s_occl, hit_mask, rad_all=rad_all)))
+    for f in ("w_out", "m"):
+        np.testing.assert_allclose(np.asarray(getattr(a, f)),
+                                   np.asarray(getattr(b, f)), atol=1e-5)
+    print("sorted == raw results: ok", flush=True)
+
+if __name__ == "__main__" and __import__("os").environ.get("VIS_PROBE"):
+    vis_sorted_probe()

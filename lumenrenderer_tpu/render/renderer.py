@@ -473,12 +473,18 @@ class Renderer:
         per-frame host compare is pure overhead)."""
         t0 = time.perf_counter()
         if self._reset_on_camera_move:
-            sig = tuple(
-                np.asarray(x).tobytes()
-                for x in (camera.eye, camera.u, camera.v, camera.w))
-            if self._prev_cam_sig is not None and sig != self._prev_cam_sig:
-                st = state_mod.reset_accumulation(st)
-            self._prev_cam_sig = sig
+            # identity fast path: progressive loops re-pass the same Camera
+            # object every frame — skip the (tiny but, over a remote
+            # tunnel, not free) per-frame D2H field reads in that case
+            if camera is not getattr(self, "_prev_cam_obj", None):
+                sig = tuple(
+                    np.asarray(x).tobytes()
+                    for x in (camera.eye, camera.u, camera.v, camera.w))
+                if self._prev_cam_sig is not None \
+                        and sig != self._prev_cam_sig:
+                    st = state_mod.reset_accumulation(st)
+                self._prev_cam_sig = sig
+                self._prev_cam_obj = camera
         if self._dynamic is not None:
             if self.accel_kind == "two_level":
                 if self._dynamic.dirty:
